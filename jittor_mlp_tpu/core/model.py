@@ -1,0 +1,80 @@
+"""Model wrapper: a pure apply fn + params pytree behind a torch-zoo-like facade.
+
+Replaces the nn.Module object graph of the reference with a functional core.
+``Model.__call__`` accepts NCHW fp32 batches (the reference's input convention,
+compare.py:23-27) and runs a jitted forward; parity/benchmark harnesses can also
+reach ``apply``/``params`` directly or shard them with jax.sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from . import pytree
+
+
+class Model:
+    """A built model: config-closed apply function plus parameters.
+
+    apply_fn(params, x_nchw, train=False, rng=None) -> logits
+    importer(state_dict_nested) -> params  (defaults to identity structure)
+    """
+
+    def __init__(self, name, apply_fn, params, importer=None, exporter=None):
+        self.name = name
+        self.apply = apply_fn
+        self.params = params
+        self._importer = importer or (lambda nested: nested)
+        self._exporter = exporter
+        self._jit_cache = {}
+        self.training = False
+
+    # -- torch-compat surface -------------------------------------------------
+
+    def load_torch_state_dict(self, state_dict):
+        """Import a torch ``state_dict`` (tensors or ndarrays) as our params."""
+        nested = pytree.nest(state_dict)
+        self.params = self._importer(nested)
+        self._jit_cache.clear()
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def train(self, mode=True):
+        self.training = mode
+        return self
+
+    def param_count(self):
+        return pytree.param_count(self.params)
+
+    def to_bf16(self):
+        self.params = pytree.cast_floats(self.params, jnp.bfloat16)
+        self._jit_cache.clear()
+        return self
+
+    # -- forward --------------------------------------------------------------
+
+    def _jitted(self):
+        key = (config.compute_dtype, config.matmul_precision, self.training)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            train = self.training
+
+            def fwd(params, x, rng):
+                x = x.astype(config.compute_dtype)
+                return self.apply(params, x, train=train, rng=rng)
+
+            fn = jax.jit(fwd)
+            self._jit_cache[key] = fn
+        return fn
+
+    def __call__(self, x, rng=None):
+        if hasattr(x, "detach"):  # torch tensor
+            x = x.detach().cpu().numpy()
+        x = jnp.asarray(np.asarray(x))
+        return self._jitted()(self.params, x, rng)

@@ -1,0 +1,252 @@
+"""Functional NN primitives consuming torch-layout parameter dicts.
+
+Every function takes a param dict ``p`` holding jnp arrays under the same key
+names torch uses inside one module (``weight``, ``bias``, ``running_mean``, ...)
+and is shape-compatible with the torch layout:
+
+- Linear:   weight (out, in)            — applied as x @ W^T (+ b)
+- Conv1d k1: weight (out, in, 1)        — token mixing over axis -2
+- Conv2d:   weight (O, I/g, kh, kw)     — NHWC activations, OIHW weights
+- Norms:    weight/bias (C,)            — channel-last unless noted
+
+This lets the torch state_dict import be a pure tree reshape (core/pytree.py)
+with zero per-layer weight munging. All matmuls take the global precision knob
+from ``jittor_mlp_tpu.config`` so parity tests can force 'highest' on TPU.
+
+Reference semantics reproduced from /root/reference/models_pytorch (e.g.
+PreNormResidual/FeedForward at mlp_mixer.py:6-27); torch nn.GELU is the exact
+erf formulation, so ``approximate=False`` everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import config
+
+
+def _prec():
+    return config.matmul_precision
+
+
+def gelu(x):
+    # torch nn.GELU() / F.gelu default: exact erf variant.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def softmax(x, axis=-1):
+    return jax.nn.softmax(x, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# dense / conv
+# ---------------------------------------------------------------------------
+
+
+def linear(p, x):
+    """torch nn.Linear: x[..., in] @ weight(out, in)^T + bias."""
+    w = p["weight"]
+    y = jnp.matmul(x, w.T, precision=_prec())
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
+def conv1d_token(p, x):
+    """torch nn.Conv1d(N_in, N_out, kernel_size=1) applied over the token axis.
+
+    x: (..., N_in, D); weight: (N_out, N_in, 1). Used as the token mixer in
+    MLP-Mixer / gMLP / ResMLP (mlp_mixer.py:34, g_mlp.py:14, res_mlp.py:46).
+    On TPU this is a plain matmul on the token axis → MXU.
+    """
+    w = p["weight"][:, :, 0]  # (N_out, N_in)
+    y = jnp.einsum("oi,...id->...od", w, x, precision=_prec())
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"][..., :, None]
+    return y
+
+
+def _pad_pair(padding):
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    if isinstance(padding, (tuple, list)):
+        ph, pw = padding
+        if isinstance(ph, int):
+            return ((ph, ph), (pw, pw))
+        return tuple(padding)
+    raise ValueError(f"bad padding {padding!r}")
+
+
+def conv2d(p, x, stride=1, padding=0, groups=1, dilation=1):
+    """torch nn.Conv2d on NHWC activations with OIHW torch weights.
+
+    x: (B, H, W, C_in); weight: (O, I/groups, kh, kw). Depthwise convs are
+    ``groups == C_in`` (feature_group_count).
+    """
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    y = lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=_pad_pair(padding),
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        feature_group_count=groups,
+        precision=_prec(),
+    )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
+def patch_embed(p, x, patch_size):
+    """Non-overlapping Conv2d(k=s=patch) as reshape + matmul (MXU-friendly).
+
+    Equivalent to conv2d(p, x, stride=patch, padding=0) when kernel==stride;
+    lowering to one big matmul avoids conv overhead for the patchify stem
+    (mlp_mixer.py:58-60 et al.). x NHWC → (B, H/p, W/p, C*p*p) @ W.
+    """
+    ph, pw = (patch_size, patch_size) if isinstance(patch_size, int) else patch_size
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // ph, ph, W // pw, pw, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H/p, W/p, C, ph, pw
+    x = x.reshape(B, H // ph, W // pw, C * ph * pw)
+    w = p["weight"].reshape(p["weight"].shape[0], -1)  # (O, C*ph*pw)
+    y = jnp.matmul(x, w.T.astype(x.dtype), precision=_prec())
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(p, x, eps=1e-5):
+    """torch nn.LayerNorm over the last axis; stats in fp32."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    if p is not None and "weight" in p:
+        y = y * p["weight"].astype(x.dtype)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm_nchw(p, x, eps=1e-5):
+    """LayerNorm over the channel axis of channels-first data (ms_mlp.py:246-270
+    'channels_first'): normalize axis 1 of (B, C, H, W) — here we keep NHWC and
+    normalize the last axis, so this is only needed for genuinely NCHW tensors."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y.astype(x.dtype)
+    y = y * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
+    return y
+
+
+def batch_norm(p, x, eps=1e-5, train=False):
+    """torch nn.BatchNorm2d/1d in NHWC (channel-last) form.
+
+    Inference uses running stats from the imported state_dict; train mode uses
+    per-batch stats over all non-channel axes (running-stat updates are handled
+    by the trainer via returned aux, not here).
+    """
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
+    else:
+        mean = p["running_mean"].astype(jnp.float32)
+        var = p["running_var"].astype(jnp.float32)
+    scale = lax.rsqrt(var + eps)
+    if "weight" in p and p["weight"] is not None:
+        scale = scale * p["weight"].astype(jnp.float32)
+    shift = -mean * scale
+    if "bias" in p and p["bias"] is not None:
+        shift = shift + p["bias"].astype(jnp.float32)
+    return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def group_norm(p, x, num_groups, eps=1e-5):
+    """torch nn.GroupNorm on NHWC data: stats over (H, W, C/g) per group."""
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mu) * lax.rsqrt(var + eps)).reshape(B, H, W, C).astype(x.dtype)
+    if p is not None and "weight" in p:
+        y = y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y
+
+
+def affine(p, x):
+    """ResMLP Aff layer (res_mlp.py:11-19): x * alpha + beta, broadcast on last axis."""
+    return x * p["alpha"].reshape(-1) + p["beta"].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# regularization (train-mode only; identity in eval)
+# ---------------------------------------------------------------------------
+
+
+def dropout(rng, x, rate, train):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def drop_path(rng, x, rate, train):
+    """Stochastic depth per sample (timm DropPath semantics)."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+
+def global_avg_pool_tokens(x):
+    """mean over token axis: (B, N, D) → (B, D)."""
+    return jnp.mean(x, axis=-2)
+
+
+def scan_blocks(block_fn, stacked_params, x, unroll=1):
+    """Run homogeneous residual blocks under lax.scan.
+
+    ``stacked_params`` is a pytree whose leaves have a leading layer axis
+    (built by pytree.stack_layers). One trace of ``block_fn`` regardless of
+    depth → fast compiles, and XLA still pipelines the per-layer matmuls.
+    """
+
+    def body(h, bp):
+        return block_fn(bp, h), None
+
+    y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
+    return y
