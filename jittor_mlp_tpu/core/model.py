@@ -76,5 +76,6 @@ class Model:
     def __call__(self, x, rng=None):
         if hasattr(x, "detach"):  # torch tensor
             x = x.detach().cpu().numpy()
-        x = jnp.asarray(np.asarray(x))
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(np.asarray(x))
         return self._jitted()(self.params, x, rng)

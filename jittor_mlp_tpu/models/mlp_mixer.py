@@ -32,13 +32,13 @@ def _structure(nested):
 
 
 def _init_state_dict(seed, *, in_channels, d_model, num_classes, patch_size,
-                     num_patches, depth, expansion_factor):
+                     num_patches, depth, expansion_factor, token_dim):
     b = SDBuilder(seed)
     b.conv2d("patcher.0", in_channels, d_model, patch_size)
     for i in range(depth):
         b.layer_norm(f"model.{i}.0.norm", d_model)
-        b.conv1d(f"model.{i}.0.fn.net.0", num_patches, num_patches * expansion_factor)
-        b.conv1d(f"model.{i}.0.fn.net.3", num_patches * expansion_factor, num_patches)
+        b.conv1d(f"model.{i}.0.fn.net.0", num_patches, token_dim)
+        b.conv1d(f"model.{i}.0.fn.net.3", token_dim, num_patches)
         b.layer_norm(f"model.{i}.1.norm", d_model)
         b.linear(f"model.{i}.1.fn.net.0", d_model, d_model * expansion_factor)
         b.linear(f"model.{i}.1.fn.net.3", d_model * expansion_factor, d_model)
@@ -56,10 +56,16 @@ def MLPMixerForImageClassification(
     depth=12,
     expansion_factor=4,
     dropout=0.0,
+    token_dim=None,
     seed=0,
 ):
+    """token_dim: hidden width of the token-mixing FF. Defaults to the
+    reference's num_patches*expansion_factor (mlp_mixer.py:37); the paper's
+    Mixer-B/16 uses a fixed 384."""
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
+    if token_dim is None:
+        token_dim = num_patches * expansion_factor
 
     def apply(params, x, train=False, rng=None):
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
@@ -94,6 +100,7 @@ def MLPMixerForImageClassification(
         num_patches=num_patches,
         depth=depth,
         expansion_factor=expansion_factor,
+        token_dim=token_dim,
     )
     params = _structure(pytree.nest(sd))
     return Model("mlp_mixer", apply, params, importer=_structure)
