@@ -1,5 +1,73 @@
-"""g_mlp — placeholder, implementation landing in a later milestone."""
+"""gMLP, TPU-native.
 
-def gMLPForImageClassification(*args, **kwargs):
-    raise NotImplementedError("gMLPForImageClassification: not yet implemented in jittor_mlp_tpu")
+Reference semantics: /root/reference/models_pytorch/g_mlp.py — blocks of
+LN → Linear(d→2·ffn) → GELU → SpatialGatingUnit → Linear(ffn→d) + residual
+(ln 24-39). The SGU (ln 10-22) chunks channels in half, LayerNorms v, applies a
+Conv1d(seq,seq,1) spatial projection (bias init 1.0, ln 15) and gates u·v.
 
+TPU design: the spatial projection is a token-axis matmul on the MXU; all
+``depth`` blocks run under one lax.scan over stacked params.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import nnf, pytree
+from ..core.init import SDBuilder
+from ..core.model import Model
+from ..utils import check_sizes, pair
+
+
+def _structure(nested):
+    return {
+        "patcher": nested["patcher"]["0"],
+        "blocks": pytree.stack_numbered(nested["model"]),
+        "head": nested["mlp_head"]["0"],
+    }
+
+
+def gMLPForImageClassification(
+    image_size=256,
+    patch_size=16,
+    in_channels=3,
+    num_classes=1000,
+    d_model=256,
+    d_ffn=1536,
+    depth=30,
+    seed=0,
+):
+    num_patches = check_sizes(image_size, patch_size)
+    ph, _ = pair(patch_size)
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nnf.patch_embed(params["patcher"], x, ph)
+        B = x.shape[0]
+        x = x.reshape(B, num_patches, d_model)
+
+        def block(bp, h):
+            y = nnf.layer_norm(bp["norm"], h)
+            y = nnf.gelu(nnf.linear(bp["channel_proj1"], y))
+            u, v = y[..., :d_ffn], y[..., d_ffn:]
+            v = nnf.layer_norm(bp["sgu"]["norm"], v)
+            v = nnf.conv1d_token(bp["sgu"]["spatial_proj"], v)
+            y = nnf.linear(bp["channel_proj2"], u * v)
+            return h + y
+
+        x = nnf.scan_blocks(block, params["blocks"], x)
+        x = nnf.global_avg_pool_tokens(x)
+        return nnf.linear(params["head"], x)
+
+    b = SDBuilder(seed)
+    b.conv2d("patcher.0", in_channels, d_model, ph)
+    for i in range(depth):
+        b.layer_norm(f"model.{i}.norm", d_model)
+        b.linear(f"model.{i}.channel_proj1", d_model, d_ffn * 2)
+        b.linear(f"model.{i}.channel_proj2", d_ffn, d_model)
+        b.layer_norm(f"model.{i}.sgu.norm", d_ffn)
+        b.conv1d(f"model.{i}.sgu.spatial_proj", num_patches, num_patches)
+        b.const(f"model.{i}.sgu.spatial_proj.bias", (num_patches,), 1.0)
+    b.linear("mlp_head.0", d_model, num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("g_mlp", apply, params, importer=_structure)

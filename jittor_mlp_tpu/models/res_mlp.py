@@ -1,5 +1,84 @@
-"""res_mlp — placeholder, implementation landing in a later milestone."""
+"""ResMLP, TPU-native.
 
-def ResMLPForImageClassification(*args, **kwargs):
-    raise NotImplementedError("ResMLPForImageClassification: not yet implemented in jittor_mlp_tpu")
+Reference semantics: /root/reference/models_pytorch/res_mlp.py — Affine
+pre/post "norm" (ln 11-19), Conv1d token mix with LayerScale gamma_1, channel
+FF with gamma_2 (ln 34-57); gamma init depends on depth (0.1 / 1e-5 / 1e-6,
+ln 38-43). Final Affine → token mean → Linear head (ln 86-99).
+"""
 
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import nnf, pytree
+from ..core.init import SDBuilder
+from ..core.model import Model
+from ..utils import check_sizes, pair
+
+
+def _structure(nested):
+    return {
+        "patcher": nested["patcher"]["0"],
+        "blocks": pytree.stack_numbered(nested["model"]),
+        "affine": nested["affine"],
+        "head": nested["mlp_head"]["0"],
+    }
+
+
+def ResMLPForImageClassification(
+    in_channels=3,
+    d_model=384,
+    num_classes=1000,
+    patch_size=16,
+    image_size=224,
+    depth=12,
+    expansion_factor=4,
+    seed=0,
+):
+    num_patches = check_sizes(image_size, patch_size)
+    ph, _ = pair(patch_size)
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nnf.patch_embed(params["patcher"], x, ph)
+        B = x.shape[0]
+        x = x.reshape(B, num_patches, d_model)
+
+        def block(bp, h):
+            h = nnf.affine(bp["pre_affine"], h)
+            h = h + bp["gamma_1"] * nnf.conv1d_token(bp["token_mix"], h)
+            h = nnf.affine(bp["post_affine"], h)
+            y = nnf.linear(bp["ff"]["net"]["0"], h)
+            y = nnf.gelu(y)
+            y = nnf.linear(bp["ff"]["net"]["3"], y)
+            return h + bp["gamma_2"] * y
+
+        x = nnf.scan_blocks(block, params["blocks"], x)
+        x = nnf.affine(params["affine"], x)
+        x = nnf.global_avg_pool_tokens(x)
+        return nnf.linear(params["head"], x)
+
+    if depth <= 18:
+        init_values = 0.1
+    elif depth <= 24:
+        init_values = 1e-5
+    else:
+        init_values = 1e-6
+
+    b = SDBuilder(seed)
+    b.conv2d("patcher.0", in_channels, d_model, ph)
+    for i in range(depth):
+        b.ones(f"model.{i}.pre_affine.alpha", (1, 1, d_model))
+        b.zeros(f"model.{i}.pre_affine.beta", (1, 1, d_model))
+        b.conv1d(f"model.{i}.token_mix", num_patches, num_patches)
+        b.linear(f"model.{i}.ff.net.0", d_model, d_model * expansion_factor)
+        b.linear(f"model.{i}.ff.net.3", d_model * expansion_factor, d_model)
+        b.ones(f"model.{i}.post_affine.alpha", (1, 1, d_model))
+        b.zeros(f"model.{i}.post_affine.beta", (1, 1, d_model))
+        b.const(f"model.{i}.gamma_1", (d_model,), init_values)
+        b.const(f"model.{i}.gamma_2", (d_model,), init_values)
+    b.ones("affine.alpha", (1, 1, d_model))
+    b.zeros("affine.beta", (1, 1, d_model))
+    b.linear("mlp_head.0", d_model, num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("res_mlp", apply, params, importer=_structure)
