@@ -77,6 +77,8 @@ def conv1d_token(p, x):
 
 
 def _pad_pair(padding):
+    if padding == "same":
+        return "SAME"  # stride-1 'same' matches torch padding="same"
     if isinstance(padding, int):
         return ((padding, padding), (padding, padding))
     if isinstance(padding, (tuple, list)):
@@ -129,6 +131,39 @@ def patch_embed(p, x, patch_size):
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"]
     return y
+
+
+def max_pool2d(x, kernel, stride, padding):
+    """torch nn.MaxPool2d on NHWC."""
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+
+
+def avg_pool2d(x, kernel, stride=None, padding=0):
+    """torch nn.AvgPool2d (count_include_pad=True default) on NHWC."""
+    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
+    if stride is None:
+        stride = (kh, kw)
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    ph, pw = (padding, padding) if isinstance(padding, int) else padding
+    s = lax.reduce_window(
+        x,
+        jnp.array(0, x.dtype),
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
+    )
+    return s / (kh * kw)
 
 
 # ---------------------------------------------------------------------------

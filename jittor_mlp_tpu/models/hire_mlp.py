@@ -1,5 +1,192 @@
-"""hire_mlp — placeholder, implementation landing in a later milestone."""
+"""HireMLP, TPU-native.
 
-def HireMLP(*args, **kwargs):
-    raise NotImplementedError("HireMLP: not yet implemented in jittor_mlp_tpu")
+Reference semantics: /root/reference/models_pytorch/hire_mlp.py — each
+HireMLPBlock (ln 97-152) pads H/W up to the next region multiple (always
+padding a full extra region when already divisible — reproduced exactly) with a
+configurable mode incl. 'circular', optionally rolls H/W by cross_region_step
+every ``cross_region_interval`` blocks (ln 106-118), rearranges inner regions
+into the channel axis ('b c (h group) w -> b (c h) group w', h-outer/c-major
+channel order), applies bottleneck 1x1-conv FFNs per direction plus a channel
+1x1 (ln 126-128), restores, sums, crops. Stages with stride-2 conv merges
+(ln 154-186), LN → mean → Linear head (ln 217-221).
 
+All rearranges are static reshape/transpose; rolls are jnp.roll with a stacked
+per-block step (0 == identity) so stages still run under lax.scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import nnf, pytree
+from ..core.init import SDBuilder
+from ..core.model import Model
+from ..utils import pair
+
+_PAD_MODE = {
+    "constant": "constant",
+    "circular": "wrap",
+    "reflect": "reflect",
+    "replicate": "edge",
+}
+
+
+def _ff11(p, x):
+    """FeedForward of 1x1 convs (hire_mlp.py:33-42) as channel-last linears."""
+    w0 = p["net"]["0"]
+    w2 = p["net"]["2"]
+    y = jnp.matmul(x, w0["weight"][:, :, 0, 0].T) + w0["bias"]
+    y = nnf.gelu(y)
+    return jnp.matmul(y, w2["weight"][:, :, 0, 0].T) + w2["bias"]
+
+
+def hire_block(bp, x, h, w, step, padding_type):
+    """x: (B, H, W, C); step: traced int (0 → no cross-region roll)."""
+    B, H, W, C = x.shape
+    pad_h = h - H % h
+    pad_w = w - W % w
+    x = jnp.pad(
+        x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode=_PAD_MODE[padding_type]
+    )
+    Hp, Wp = H + pad_h, W + pad_w
+    gh, gw = Hp // h, Wp // w
+
+    # H path: roll H by step, inner-region H, FF, restore, roll back
+    xh = jnp.roll(x, step, axis=1)
+    xh = (
+        xh.reshape(B, h, gh, Wp, C)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(B, gh, Wp, C * h)
+    )
+    xh = _ff11(bp["proj_h"], xh)
+    xh = (
+        xh.reshape(B, gh, Wp, C, h)
+        .transpose(0, 4, 1, 2, 3)
+        .reshape(B, Hp, Wp, C)
+    )
+    xh = jnp.roll(xh, -step, axis=1)
+
+    # W path
+    xw = jnp.roll(x, step, axis=2)
+    xw = (
+        xw.reshape(B, Hp, w, gw, C)
+        .transpose(0, 1, 3, 4, 2)
+        .reshape(B, Hp, gw, C * w)
+    )
+    xw = _ff11(bp["proj_w"], xw)
+    xw = (
+        xw.reshape(B, Hp, gw, C, w)
+        .transpose(0, 1, 4, 2, 3)
+        .reshape(B, Hp, Wp, C)
+    )
+    xw = jnp.roll(xw, -step, axis=2)
+
+    # channel path
+    pc = bp["proj_c"]
+    xc = jnp.matmul(x, pc["weight"][:, :, 0, 0].T) + pc["bias"]
+
+    out = xc + xh + xw
+    return out[:, :H, :W, :]
+
+
+def HireMLP(
+    patch_size=4,
+    in_channels=3,
+    num_classes=1000,
+    d_model=[64, 128, 320, 512],
+    h=[4, 3, 3, 2],
+    w=[4, 3, 3, 2],
+    cross_region_step=[2, 2, 1, 1],
+    cross_region_interval=2,
+    depth=[4, 6, 24, 3],
+    expansion_factor=2,
+    patcher_norm=False,
+    padding_type="circular",
+    seed=0,
+):
+    patch_size = pair(patch_size)
+    n_stages = len(depth)
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nnf.conv2d(params["patcher"], x, stride=patch_size, padding=3)
+        if patcher_norm:
+            x = nnf.layer_norm(params["patcher_norm"], x)
+        for si in range(n_stages):
+            st = params["stages"][si]
+
+            def block(bp, hcar):
+                y = nnf.layer_norm(bp["0"]["norm"], hcar)
+                y = hire_block(
+                    bp["0"]["fn"]["0"], y, h[si], w[si], bp["_step"],
+                    padding_type,
+                )
+                hcar = hcar + y
+                y = nnf.layer_norm(bp["1"]["norm"], hcar)
+                y = nnf.gelu(nnf.linear(bp["1"]["fn"]["0"], y))
+                y = nnf.linear(bp["1"]["fn"]["3"], y)
+                return hcar + y
+
+            x = nnf.scan_blocks(block, st["blocks"], x)
+            if "merge" in st:
+                x = nnf.conv2d(st["merge"], x, stride=2, padding=1)
+        x = nnf.layer_norm(params["head_norm"], x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nnf.linear(params["head"], x)
+
+    def _structure(nested):
+        stages = []
+        for si in range(n_stages):
+            st = nested["layers"][str(si)]
+            blocks = pytree.stack_numbered(st["model"])
+            # cross-region every interval blocks: block j uses roll iff
+            # (j+1) % interval == 0 (hire_mlp.py:107, cross_region_id=i_depth+1)
+            steps = np.array(
+                [
+                    cross_region_step[si]
+                    if (j + 1) % cross_region_interval == 0
+                    else 0
+                    for j in range(depth[si])
+                ],
+                dtype=np.int32,
+            )
+            blocks["_step"] = jnp.asarray(steps)
+            entry = {"blocks": blocks}
+            if si + 1 < n_stages:
+                entry["merge"] = st["patch_merge"]["1"]["reduction"]["0"]
+            stages.append(entry)
+        out = {
+            "patcher": nested["patcher"]["reduction"]["0"],
+            "stages": stages,
+            "head_norm": nested["mlp_head"]["0"],
+            "head": nested["mlp_head"]["2"],
+        }
+        if patcher_norm:
+            out["patcher_norm"] = nested["patcher"]["reduction"]["1"]["1"]
+        return out
+
+    b = SDBuilder(seed)
+    b.conv2d("patcher.reduction.0", in_channels, d_model[0], 7)
+    if patcher_norm:
+        b.layer_norm("patcher.reduction.1.1", d_model[0])
+    for si in range(n_stages):
+        d = d_model[si]
+        for j in range(depth[si]):
+            pre = f"layers.{si}.model.{j}"
+            b.layer_norm(f"{pre}.0.norm", d)
+            b.conv2d(f"{pre}.0.fn.0.proj_h.net.0", h[si] * d, d // 2, 1)
+            b.conv2d(f"{pre}.0.fn.0.proj_h.net.2", d // 2, h[si] * d, 1)
+            b.conv2d(f"{pre}.0.fn.0.proj_w.net.0", w[si] * d, d // 2, 1)
+            b.conv2d(f"{pre}.0.fn.0.proj_w.net.2", d // 2, w[si] * d, 1)
+            b.conv2d(f"{pre}.0.fn.0.proj_c", d, d, 1)
+            b.layer_norm(f"{pre}.1.norm", d)
+            b.linear(f"{pre}.1.fn.0", d, d * expansion_factor)
+            b.linear(f"{pre}.1.fn.3", d * expansion_factor, d)
+        d_out = d_model[si + 1] if si + 1 < n_stages else d_model[-1]
+        b.conv2d(f"layers.{si}.patch_merge.1.reduction.0", d, d_out, 3)
+    b.layer_norm("mlp_head.0", d_model[-1])
+    b.linear("mlp_head.2", d_model[-1], num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("hire_mlp", apply, params, importer=_structure)
