@@ -1,5 +1,148 @@
-"""dyna_mlp — placeholder, implementation landing in a later milestone."""
+"""DynaMixer, TPU-native.
 
-def DynaMixer(*args, **kwargs):
-    raise NotImplementedError("DynaMixer: not yet implemented in jittor_mlp_tpu")
+Reference semantics: /root/reference/models_pytorch/dyna_mlp.py — DynaMixerOp
+(ln 34-94): per-segment Wd linear projections generate content-dependent
+attention softmax(Linear(hidden·len) → len×len) applied by matmul to the
+segment-reshaped tokens, separately along W and H; DynaBlock sums h/w/channel
+branches then projects (ln 96-111); PreNorm residual pairs with channel FF
+(ln 113-132); two conv-patchify stages; mean-pool head. Settings T/M/L
+(ln 135-139).
+"""
 
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import nnf, pytree
+from ..core.init import SDBuilder
+from ..core.model import Model
+
+dynamlp_settings = {
+    "T": [[7, 2], [192, 384], [4, 14], [8, 16], 3, 0.1, 2],
+    "M": [[7, 2], [256, 512], [7, 17], [8, 16], 3, 0.1, 2],
+    "L": [[7, 2], [256, 512], [9, 27], [8, 16], 3, 0.3, 8],
+}
+
+
+def _dyna_op(op, x, length, seg, hidden, axis):
+    """axis=2 → mix along W (DynaMixerOp_w); axis=1 → along H (_h).
+
+    x: (B, H, W, C). 'Wd' is the stacked per-segment projection
+    (seg, hidden, C); attend is Linear(hidden*len → len²).
+    """
+    B, H, W, C = x.shape
+    d = C // seg
+    if axis == 1:  # operate on H: swap H and W, reuse the W path
+        x = jnp.swapaxes(x, 1, 2)
+        H, W = W, H
+    # per-segment projections; concat order '(s d)' is s-major = stack order
+    p = jnp.einsum("bhwc,soc->bhwso", x, op["wd_w"]) + op["wd_b"]
+    attn = p.transpose(0, 1, 3, 2, 4).reshape(B, H, seg, W * hidden)
+    attn = nnf.linear(op["attend"], attn).reshape(B, H, seg, W, W)
+    attn = nnf.softmax(attn, axis=-1)
+    inp = x.reshape(B, H, W, seg, d).transpose(0, 1, 3, 2, 4)  # B,H,s,W,d
+    y = jnp.matmul(attn, inp)  # B,H,s,W,d
+    y = y.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
+    y = nnf.linear(op["proc"], y)
+    if axis == 1:
+        y = jnp.swapaxes(y, 1, 2)
+    return y
+
+
+def DynaMixer(model_name="M", image_size=224, in_channels=3, num_classes=1000, seed=0):
+    assert model_name in dynamlp_settings
+    patch_size, embed_dims, depths, segment, mlp_ratio, dropout, hidden = (
+        dynamlp_settings[model_name]
+    )
+    n_stages = len(patch_size)
+    res = []
+    cur = image_size
+    for ps in patch_size:
+        cur = cur // ps
+        res.append(cur)
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        for si in range(n_stages):
+            st = params["stages"][si]
+            x = nnf.patch_embed(st["patch"], x, patch_size[si])
+            seg = segment[si]
+
+            def block(bp, h):
+                y = nnf.layer_norm(bp["0"]["norm"], h)
+                fn = bp["0"]["fn"]
+                y_c = nnf.linear(fn["proj_c"], y)
+                y_h = _dyna_op(fn["op_h"], y, res[si], seg, hidden, axis=1)
+                y_w = _dyna_op(fn["op_w"], y, res[si], seg, hidden, axis=2)
+                y = nnf.linear(fn["proj_o"], y_h + y_w + y_c)
+                h = h + y
+                y = nnf.layer_norm(bp["1"]["norm"], h)
+                y = nnf.gelu(nnf.linear(bp["1"]["fn"]["net"]["0"], y))
+                y = nnf.linear(bp["1"]["fn"]["net"]["3"], y)
+                return h + y
+
+            x = nnf.scan_blocks(block, st["blocks"], x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nnf.linear(params["head"], x)
+
+    def _restack_op(op, seg):
+        """ModuleList Wd.{i} → stacked (seg, hidden, C) + (seg, hidden) bias;
+        the '(s d)' concat order in the reference (dyna_mlp.py:54-57) is
+        s-major, matching the stack."""
+        wds = [op["Wd"][str(i)] for i in range(seg)]
+        return {
+            "wd_w": jnp.stack([w["weight"] for w in wds]),
+            "wd_b": jnp.stack([w["bias"] for w in wds]),
+            "attend": op["attend"]["1"],
+            "proc": op["proc"],
+        }
+
+    def _structure(nested):
+        stages = []
+        for si in range(n_stages):
+            st = nested["stages"][str(si)]
+            blocks = []
+            layer = st["1"]["layers"]
+            for j in sorted(layer, key=int):
+                bp = layer[j]
+                fn = bp["0"]["fn"]
+                blocks.append(
+                    {
+                        "0": {
+                            "norm": bp["0"]["norm"],
+                            "fn": {
+                                "proj_c": fn["proj_c"],
+                                "proj_o": fn["proj_o"],
+                                "op_h": _restack_op(fn["DynaMixerOp_h"], segment[si]),
+                                "op_w": _restack_op(fn["DynaMixerOp_w"], segment[si]),
+                            },
+                        },
+                        "1": bp["1"],
+                    }
+                )
+            stages.append(
+                {"patch": st["0"], "blocks": pytree.stack_layers(blocks)}
+            )
+        return {"stages": stages, "head": nested["mlp_head"]["1"]}
+
+    b = SDBuilder(seed)
+    for si in range(n_stages):
+        cin = in_channels if si == 0 else embed_dims[si - 1]
+        d = embed_dims[si]
+        b.conv2d(f"stages.{si}.0", cin, d, patch_size[si])
+        for j in range(depths[si]):
+            pre = f"stages.{si}.1.layers.{j}"
+            b.layer_norm(f"{pre}.0.norm", d)
+            b.linear(f"{pre}.0.fn.proj_c", d, d)
+            b.linear(f"{pre}.0.fn.proj_o", d, d)
+            for oph, ln in (("DynaMixerOp_h", res[si]), ("DynaMixerOp_w", res[si])):
+                for s in range(segment[si]):
+                    b.linear(f"{pre}.0.fn.{oph}.Wd.{s}", d, hidden)
+                b.linear(f"{pre}.0.fn.{oph}.attend.1", hidden * ln, ln * ln)
+                b.linear(f"{pre}.0.fn.{oph}.proc", d, d)
+            b.layer_norm(f"{pre}.1.norm", d)
+            b.linear(f"{pre}.1.fn.net.0", d, d * mlp_ratio)
+            b.linear(f"{pre}.1.fn.net.3", d * mlp_ratio, d)
+    b.linear("mlp_head.1", embed_dims[-1], num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("dyna_mlp", apply, params, importer=_structure)

@@ -1,0 +1,62 @@
+import jittor_mlp_tpu as jm
+import jittor_mlp_tpu.models.dyna_mlp as jm_dyna
+import jittor_mlp_tpu.models.morph_mlp as jm_morph
+import jittor_mlp_tpu.models.wave_mlp as jm_wave
+from parity import check_parity
+from ref_loader import load_ref
+
+# Small test settings injected into both implementations' settings tables so
+# CPU parity runs stay fast; the constructor surface (model_name) is unchanged.
+MORPH_XS = [[2, 2], [2, 2], [16, 32], [4, 4], [0.0, 0.0]]
+WAVE_XS = [[1, 1, 1, 1], [2, 2, 2, 2]]
+DYNA_XS = [[4, 2], [16, 32], [2, 2], [2, 4], 2, 0.0, 2]
+
+
+def test_morph_mlp_parity():
+    load_ref("morph_mlp").morphmlp_settings["XS"] = MORPH_XS
+    jm_morph.morphmlp_settings["XS"] = MORPH_XS
+    check_parity(
+        "morph_mlp",
+        "MorphMLP",
+        jm.MorphMLP,
+        dict(model_name="XS", num_classes=10),
+        input_shape=(2, 3, 32, 32),
+    )
+
+
+def test_morph_mlp_padded_chunks():
+    # resolution not divisible by chunk length exercises the pad/crop path
+    s = [[2], [2], [16], [4], [0.0]]
+    load_ref("morph_mlp").morphmlp_settings["XP"] = s
+    jm_morph.morphmlp_settings["XP"] = s
+    check_parity(
+        "morph_mlp",
+        "MorphMLP",
+        jm.MorphMLP,
+        dict(model_name="XP", num_classes=10),
+        input_shape=(2, 3, 36, 36),  # 36/4=9, 9%4!=0 → padding
+    )
+
+
+def test_wave_mlp_parity():
+    load_ref("wave_mlp").wavemlp_settings["XS"] = WAVE_XS
+    jm_wave.wavemlp_settings["XS"] = WAVE_XS
+    check_parity(
+        "wave_mlp",
+        "WaveMLP",
+        jm.WaveMLP,
+        dict(model_name="XS", num_classes=10),
+        input_shape=(2, 3, 64, 64),
+    )
+
+
+def test_dyna_mixer_parity():
+    load_ref("dyna_mlp").dynamlp_settings["XS"] = DYNA_XS
+    jm_dyna.dynamlp_settings["XS"] = DYNA_XS
+    check_parity(
+        "dyna_mlp",
+        "DynaMixer",
+        jm.DynaMixer,
+        dict(model_name="XS", image_size=32, num_classes=10),
+        input_shape=(2, 3, 32, 32),
+    )
