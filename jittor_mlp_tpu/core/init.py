@@ -22,9 +22,10 @@ __all__ = ["SDBuilder", "trunc_normal"]
 
 def trunc_normal(rng, shape, mean=0.0, std=1.0, a=-2.0, b=2.0):
     """Truncated normal via inverse CDF (models_jittor/utils/init.py:6-60)."""
+    # torch semantics: sample U(2·Φ(α)−1, 2·Φ(β)−1) = U(erf(α/√2), erf(β/√2))
     lo = _sp.erf((a - mean) / (std * math.sqrt(2.0)))
     hi = _sp.erf((b - mean) / (std * math.sqrt(2.0)))
-    u = rng.uniform(2 * lo - 1, 2 * hi - 1, size=shape)
+    u = rng.uniform(lo, hi, size=shape)
     x = _sp.erfinv(u) * std * math.sqrt(2.0) + mean
     return np.clip(x, a, b).astype(np.float32)
 
@@ -79,6 +80,24 @@ class SDBuilder:
         self.sd[f"{name}.bias"] = np.zeros((dim,), np.float32)
         self.sd[f"{name}.running_mean"] = np.zeros((dim,), np.float32)
         self.sd[f"{name}.running_var"] = np.ones((dim,), np.float32)
+        return self
+
+    def lstm(self, name, input_size, hidden, bidirectional=True):
+        """torch nn.LSTM(num_layers=1) params: all U(-1/sqrt(H), 1/sqrt(H))."""
+        sufs = ("", "_reverse") if bidirectional else ("",)
+        for suf in sufs:
+            self.sd[f"{name}.weight_ih_l0{suf}"] = self._kaiming_uniform(
+                (4 * hidden, input_size), hidden
+            )
+            self.sd[f"{name}.weight_hh_l0{suf}"] = self._kaiming_uniform(
+                (4 * hidden, hidden), hidden
+            )
+            self.sd[f"{name}.bias_ih_l0{suf}"] = self._kaiming_uniform(
+                (4 * hidden,), hidden
+            )
+            self.sd[f"{name}.bias_hh_l0{suf}"] = self._kaiming_uniform(
+                (4 * hidden,), hidden
+            )
         return self
 
     def const(self, name, shape, value):

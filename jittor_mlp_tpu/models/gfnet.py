@@ -1,9 +1,195 @@
-"""gfnet — placeholder, implementation landing in a later milestone."""
+"""GFNet / GFNetPyramid, TPU-native.
 
-def GFNet(*args, **kwargs):
-    raise NotImplementedError("GFNet: not yet implemented in jittor_mlp_tpu")
+Reference semantics: /root/reference/models_pytorch/gfnet.py — GlobalFilter
+(ln 47-72): rfft2 over the token grid (norm='ortho'), elementwise multiply by a
+learned complex weight (h, w, dim, 2), irfft2 back. Block (ln 74-87): ONE
+residual wraps filter+MLP: x + MLP(LN2(filter(LN1(x)))); BlockLayerScale adds
+gamma (ln 89-104). GFNet is flat ViT-style with pos_embed (ln 147-261);
+GFNetPyramid stacks 4 stages with DownLayer stride-2 convs and LayerScale
+blocks (ln 264-389). LN eps 1e-6.
+
+The cuFFT dependency ("no fft in Jittor", README.md:174-177) maps to XLA's
+native FFT via jnp.fft.rfft2/irfft2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import nnf, pytree
+from ..core.init import SDBuilder
+from ..core.model import Model
+from ..utils import pair
 
 
-def GFNetPyramid(*args, **kwargs):
-    raise NotImplementedError("GFNetPyramid: not yet implemented in jittor_mlp_tpu")
+def global_filter(p, x, a, b):
+    """x: (B, N, C) on an a×b grid."""
+    B, N, C = x.shape
+    y = x.reshape(B, a, b, C).astype(jnp.float32)
+    y = jnp.fft.rfft2(y, axes=(1, 2), norm="ortho")
+    w = p["complex_weight"]
+    y = y * (w[..., 0] + 1j * w[..., 1])
+    y = jnp.fft.irfft2(y, s=(a, b), axes=(1, 2), norm="ortho")
+    return y.reshape(B, N, C).astype(x.dtype)
 
+
+def _block(bp, x, a, b, gamma=False):
+    y = nnf.layer_norm(bp["norm1"], x, eps=1e-6)
+    y = global_filter(bp["filter"], y, a, b)
+    y = nnf.layer_norm(bp["norm2"], y, eps=1e-6)
+    y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))
+    if gamma:
+        y = bp["gamma"] * y
+    return x + y
+
+
+def GFNet(
+    img_size=224,
+    patch_size=16,
+    in_chans=3,
+    num_classes=1000,
+    embed_dim=768,
+    depth=12,
+    mlp_ratio=4.0,
+    representation_size=None,
+    uniform_drop=False,
+    drop_rate=0.0,
+    drop_path_rate=0.0,
+    norm_layer=None,
+    dropcls=0,
+    seed=0,
+):
+    img_size = pair(img_size)
+    patch_size = pair(patch_size)
+    grid = img_size[0] // patch_size[0]
+    num_patches = grid * (img_size[1] // patch_size[1])
+    h = grid
+    w = h // 2 + 1
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nnf.patch_embed(params["patch_embed"], x, patch_size)
+        B = x.shape[0]
+        x = x.reshape(B, num_patches, embed_dim)
+        x = x + params["pos_embed"]
+
+        def block(bp, hcar):
+            return _block(bp, hcar, grid, grid)
+
+        x = nnf.scan_blocks(block, params["blocks"], x)
+        x = nnf.layer_norm(params["norm"], x, eps=1e-6)
+        x = jnp.mean(x, axis=1)
+        if "pre_logits" in params:
+            x = jnp.tanh(nnf.linear(params["pre_logits"]["fc"], x))
+        return nnf.linear(params["head"], x)
+
+    def _structure(nested):
+        out = {
+            "patch_embed": nested["patch_embed"]["proj"],
+            "pos_embed": nested["pos_embed"],
+            "blocks": pytree.stack_numbered(nested["blocks"]),
+            "norm": nested["norm"],
+            "head": nested["head"],
+        }
+        if "pre_logits" in nested:
+            out["pre_logits"] = nested["pre_logits"]
+        return out
+
+    b = SDBuilder(seed)
+    b.conv2d("patch_embed.proj", in_chans, embed_dim, patch_size)
+    b.trunc_normal_("pos_embed", (1, num_patches, embed_dim), std=0.02)
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        b.layer_norm(f"{pre}.norm1", embed_dim)
+        b.param(
+            f"{pre}.filter.complex_weight",
+            b.rng.standard_normal((h, w, embed_dim, 2)).astype("float32") * 0.02,
+        )
+        b.layer_norm(f"{pre}.norm2", embed_dim)
+        b.linear(f"{pre}.mlp.fc1", embed_dim, int(embed_dim * mlp_ratio))
+        b.linear(f"{pre}.mlp.fc2", int(embed_dim * mlp_ratio), embed_dim)
+    b.layer_norm("norm", embed_dim)
+    if representation_size:
+        b.linear("pre_logits.fc", embed_dim, representation_size)
+        b.linear("head", representation_size, num_classes)
+    else:
+        b.linear("head", embed_dim, num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("gfnet", apply, params, importer=_structure)
+
+
+def GFNetPyramid(
+    img_size=224,
+    patch_size=4,
+    num_classes=1000,
+    embed_dim=[64, 128, 256, 512],
+    depth=[2, 2, 10, 4],
+    mlp_ratio=[4, 4, 4, 4],
+    drop_rate=0.0,
+    drop_path_rate=0.0,
+    norm_layer=None,
+    init_values=0.001,
+    no_layerscale=False,
+    dropcls=0,
+    seed=0,
+):
+    sizes = [56 * img_size // 224, 28 * img_size // 224, 14 * img_size // 224, 7 * img_size // 224]
+
+    def apply(params, x, train=False, rng=None):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        B = x.shape[0]
+        for i in range(4):
+            if i == 0:
+                x = nnf.patch_embed(params["patch_embed"][0], x, patch_size)
+                x = x.reshape(B, sizes[0] * sizes[0], embed_dim[0])
+                x = x + params["pos_embed"]
+            else:
+                x = x.reshape(B, sizes[i - 1], sizes[i - 1], embed_dim[i - 1])
+                x = nnf.patch_embed(params["patch_embed"][i], x, 2)
+                x = x.reshape(B, sizes[i] * sizes[i], embed_dim[i])
+
+            def block(bp, hcar):
+                return _block(bp, hcar, sizes[i], sizes[i], gamma=not no_layerscale)
+
+            x = nnf.scan_blocks(block, params["blocks"][i], x)
+        x = nnf.layer_norm(params["norm"], x, eps=1e-6)
+        x = jnp.mean(x, axis=1)
+        return nnf.linear(params["head"], x)
+
+    def _structure(nested):
+        return {
+            "patch_embed": [
+                nested["patch_embed"][str(i)]["proj"] for i in range(4)
+            ],
+            "pos_embed": nested["pos_embed"],
+            "blocks": [
+                pytree.stack_numbered(nested["blocks"][str(i)]) for i in range(4)
+            ],
+            "norm": nested["norm"],
+            "head": nested["head"],
+        }
+
+    b = SDBuilder(seed)
+    b.conv2d("patch_embed.0.proj", 3, embed_dim[0], patch_size)
+    for i in range(3):
+        b.conv2d(f"patch_embed.{i + 1}.proj", embed_dim[i], embed_dim[i + 1], 2)
+    b.trunc_normal_("pos_embed", (1, sizes[0] * sizes[0], embed_dim[0]), std=0.02)
+    for i in range(4):
+        h = sizes[i]
+        w = h // 2 + 1
+        for j in range(depth[i]):
+            pre = f"blocks.{i}.{j}"
+            b.layer_norm(f"{pre}.norm1", embed_dim[i])
+            b.param(
+                f"{pre}.filter.complex_weight",
+                b.rng.standard_normal((h, w, embed_dim[i], 2)).astype("float32") * 0.02,
+            )
+            b.layer_norm(f"{pre}.norm2", embed_dim[i])
+            b.linear(f"{pre}.mlp.fc1", embed_dim[i], int(embed_dim[i] * mlp_ratio[i]))
+            b.linear(f"{pre}.mlp.fc2", int(embed_dim[i] * mlp_ratio[i]), embed_dim[i])
+            if not no_layerscale:
+                b.const(f"{pre}.gamma", (embed_dim[i],), init_values)
+    b.layer_norm("norm", embed_dim[-1])
+    b.linear("head", embed_dim[-1], num_classes)
+    params = _structure(pytree.nest(b.sd))
+    return Model("gfnet_pyramid", apply, params, importer=_structure)

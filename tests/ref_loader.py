@@ -229,6 +229,16 @@ def cpu_shift(x, shift, dim):
     return out
 
 
+def _install_numpy_arraypad():
+    """gfnet.py:5 imports numpy.lib.arraypad (removed in numpy 2.x)."""
+    import numpy as np
+
+    if "numpy.lib.arraypad" not in sys.modules:
+        m = types.ModuleType("numpy.lib.arraypad")
+        m.pad = np.pad
+        sys.modules["numpy.lib.arraypad"] = m
+
+
 def _install_utils_top():
     """active_mlp.py:15 imports `from utils import dict_to_string`."""
     u = types.ModuleType("utils")
@@ -250,6 +260,7 @@ def _ensure_stubs():
     _install_timm()
     _install_torchvision()
     _install_cupy()
+    _install_numpy_arraypad()
     _install_utils_top()
     pkg = types.ModuleType(PKG)
     pkg.__path__ = [REF_PATH]
