@@ -242,7 +242,9 @@ def _install_numpy_arraypad():
 def _install_utils_top():
     """active_mlp.py:15 imports `from utils import dict_to_string`."""
     u = types.ModuleType("utils")
-    u.dict_to_string = lambda d: ", ".join(f"{k}={v}" for k, v in d.items())
+    u.dict_to_string = lambda d, **kw: ", ".join(
+        f"{k}={v}" for k, v in d.items() if isinstance(k, str)
+    )
     sys.modules["utils"] = u
 
 
