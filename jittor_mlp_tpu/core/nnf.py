@@ -272,16 +272,22 @@ def global_avg_pool_tokens(x):
     return jnp.mean(x, axis=-2)
 
 
-def scan_blocks(block_fn, stacked_params, x, unroll=1):
+def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     """Run homogeneous residual blocks under lax.scan.
 
     ``stacked_params`` is a pytree whose leaves have a leading layer axis
     (built by pytree.stack_layers). One trace of ``block_fn`` regardless of
     depth → fast compiles, and XLA still pipelines the per-layer matmuls.
+
+    ``remat=True`` wraps each block in jax.checkpoint — the equivalent of the
+    reference's ``use_checkpoint`` torch.utils.checkpoint flags
+    (as_mlp.py:276-277, swin_mlp.py:275-276, ms_mlp.py:179-180,
+    repmlpnet.py:252-259): activations recompute in the backward pass.
     """
+    fn = jax.checkpoint(block_fn) if remat else block_fn
 
     def body(h, bp):
-        return block_fn(bp, h), None
+        return fn(bp, h), None
 
     y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
     return y

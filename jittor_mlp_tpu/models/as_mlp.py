@@ -79,7 +79,7 @@ def AS_MLP(
                 y = _conv11(bp["mlp"]["fc2"], nnf.gelu(_conv11(bp["mlp"]["fc1"], y)))
                 return h + y
 
-            x = nnf.scan_blocks(block, lp["blocks"], x)
+            x = nnf.scan_blocks(block, lp["blocks"], x, remat=use_checkpoint)
             if "downsample" in lp:
                 x0 = x[:, 0::2, 0::2]
                 x1 = x[:, 1::2, 0::2]

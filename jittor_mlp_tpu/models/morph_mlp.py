@@ -122,4 +122,9 @@ def MorphMLP(model_name="T", pretrained=None, num_classes=1000, seed=0, **kwargs
     b.batch_norm("norm", embed_dims[-1])
     b.linear("head", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("morph_mlp", apply, params, importer=_structure)
+    model = Model("morph_mlp", apply, params, importer=_structure)
+    if pretrained:
+        from ..utils.checkpoint import load_torch_checkpoint
+
+        model.load_torch_state_dict(load_torch_checkpoint(pretrained))
+    return model

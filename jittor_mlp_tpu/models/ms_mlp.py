@@ -87,7 +87,7 @@ def MS_MLP(
                 y = bp["gamma"] * y
                 return h + y
 
-            x = nnf.scan_blocks(block, lp["blocks"], x)
+            x = nnf.scan_blocks(block, lp["blocks"], x, remat=use_checkpoint)
             if "downsample" in lp:
                 ds = lp["downsample"]
                 x = nnf.patch_embed(ds["proj"], x, 2)

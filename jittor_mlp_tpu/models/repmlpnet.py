@@ -126,7 +126,7 @@ def RepMLPNet(
                 y = _conv_bn(bp["ffn_block"]["ffn_fc2"], y, train=train)
                 return hcar + y
 
-            x = nnf.scan_blocks(block, st["blocks"], x)
+            x = nnf.scan_blocks(block, st["blocks"], x, remat=use_checkpoint)
             if i < n_stages - 1:
                 x = _conv_bn(params["embeds"][i], x, stride=2, train=train, relu=True)
         x = nnf.batch_norm(params["head_norm"], x, train=train)

@@ -102,7 +102,14 @@ def SwinMLP(
             lp = params["layers"][i]
             for j, bp in enumerate(lp["blocks"]):
                 shift = 0 if j % 2 == 0 or min(res) <= window_size else ws // 2
-                x = _swin_block(bp, x, H, W, dim, num_heads[i], ws, shift)
+                blk = _swin_block
+                if use_checkpoint:
+                    import jax
+
+                    blk = jax.checkpoint(
+                        _swin_block, static_argnums=(2, 3, 4, 5, 6, 7)
+                    )
+                x = blk(bp, x, H, W, dim, num_heads[i], ws, shift)
             if "downsample" in lp:
                 x = x.reshape(B, H, W, dim)
                 x0 = x[:, 0::2, 0::2]

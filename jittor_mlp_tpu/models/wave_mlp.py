@@ -130,4 +130,9 @@ def WaveMLP(model_name="T", pretrained=None, num_classes=1000, seed=0, **kwargs)
     b.batch_norm("norm", embed_dims[-1])
     b.linear("head", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("wave_mlp", apply, params, importer=_structure)
+    model = Model("wave_mlp", apply, params, importer=_structure)
+    if pretrained:
+        from ..utils.checkpoint import load_torch_checkpoint
+
+        model.load_torch_state_dict(load_torch_checkpoint(pretrained))
+    return model

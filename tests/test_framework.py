@@ -1,0 +1,75 @@
+"""Framework-level tests: remat, einops compat, sharded training, checkpoint utils."""
+import numpy as np
+
+import jittor_mlp_tpu as jm
+
+
+def test_remat_matches_plain():
+    import jax
+
+    m1 = jm.AS_MLP(img_size=16, patch_size=4, embed_dim=8, depths=[2], shift_size=3,
+                   num_classes=4)
+    m2 = jm.AS_MLP(img_size=16, patch_size=4, embed_dim=8, depths=[2], shift_size=3,
+                   num_classes=4, use_checkpoint=True)
+    m2.params = m1.params
+    x = np.random.default_rng(0).standard_normal((2, 3, 16, 16)).astype("float32")
+    np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(m2(x)), rtol=1e-5)
+
+    # gradient flows through the remat path
+    def loss(p):
+        return m2.apply(p, jax.numpy.asarray(x)).sum()
+
+    g = jax.grad(loss)(m2.params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_einops_compat():
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu.utils.einops_compat import Rearrange, Reduce, rearrange
+
+    x = jnp.arange(24.0).reshape(2, 3, 4)
+    assert rearrange(x, "b h w -> b (h w)").shape == (2, 12)
+    assert Rearrange("b h w -> b w h")(x).shape == (2, 4, 3)
+    assert Reduce("b h w -> b", "mean")(x).shape == (2,)
+
+
+def test_sharded_train_step_runs():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu.parallel.train import (
+        batch_sharding,
+        init_sharded,
+        make_train_step,
+    )
+
+    mesh = make_mesh(8, model_parallel=2)
+    model = jm.MLPMixerForImageClassification(
+        d_model=64, depth=2, patch_size=4, image_size=8, num_classes=16
+    )
+    opt = optax.sgd(1e-2)
+    params, opt_state, _ = init_sharded(model.params, opt, mesh)
+    step = make_train_step(model.apply, opt, mesh=mesh)
+    batch = {
+        "image": jnp.ones((8, 3, 8, 8), jnp.float32),
+        "label": jnp.zeros((8,), jnp.int32),
+    }
+    bs = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+    with mesh:
+        params, opt_state, loss1 = step(params, opt_state, batch, jax.random.PRNGKey(0))
+        params, opt_state, loss2 = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    assert float(loss2) < float(loss1)  # sgd on a constant batch must descend
+
+
+def test_resize_pos_embed():
+    from jittor_mlp_tpu.utils.checkpoint import resize_pos_embed
+
+    pe = np.random.randn(1, 17, 8).astype("float32")  # cls + 4x4 grid
+    out = resize_pos_embed(pe, 1 + 64, has_cls_token=True)  # -> 8x8 grid
+    assert out.shape == (1, 65, 8)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), pe[0, 0], rtol=1e-6)
