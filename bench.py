@@ -45,7 +45,10 @@ def main():
 
             def body(i, carry):
                 acc, x = carry
-                out = apply(params, x + acc * jnp.bfloat16(1e-8))
+                # keep the perturbed input bf16 (f32 would silently upcast the
+                # whole model and disable the fused kernel path)
+                xp = x + (acc * 1e-8).astype(jnp.bfloat16)
+                out = apply(params, xp)
                 return acc + out[0, 0].astype(jnp.float32), x
 
             acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0.0), x))

@@ -57,6 +57,7 @@ def MLPMixerForImageClassification(
     expansion_factor=4,
     dropout=0.0,
     token_dim=None,
+    use_pallas=True,
     seed=0,
 ):
     """token_dim: hidden width of the token-mixing FF. Defaults to the
@@ -72,6 +73,35 @@ def MLPMixerForImageClassification(
         x = nnf.patch_embed(params["patcher"], x, ph)
         B = x.shape[0]
         x = x.reshape(B, num_patches, d_model)
+
+        if (
+            use_pallas
+            and not train
+            and x.dtype == jnp.bfloat16
+            and B % 2 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.pallas import fused_mixer_block
+
+            def fblock(bp, h):
+                t, c = bp["0"], bp["1"]
+                return fused_mixer_block(
+                    h,
+                    t["norm"]["weight"], t["norm"]["bias"],
+                    t["fn"]["net"]["0"]["weight"][:, :, 0],
+                    t["fn"]["net"]["0"]["bias"],
+                    t["fn"]["net"]["3"]["weight"][:, :, 0],
+                    t["fn"]["net"]["3"]["bias"],
+                    c["norm"]["weight"], c["norm"]["bias"],
+                    c["fn"]["net"]["0"]["weight"], c["fn"]["net"]["0"]["bias"],
+                    c["fn"]["net"]["3"]["weight"], c["fn"]["net"]["3"]["bias"],
+                    bt=2,
+                )
+
+            x = nnf.scan_blocks(fblock, params["blocks"], x)
+            x = nnf.layer_norm(params["active"], x)
+            x = nnf.global_avg_pool_tokens(x)
+            return nnf.linear(params["head"], x)
 
         def block(bp, h):
             t, c = bp["0"], bp["1"]

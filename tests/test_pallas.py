@@ -1,0 +1,46 @@
+"""Fused Pallas mixer-block kernel: interpret-mode equivalence on CPU."""
+import functools
+
+import numpy as np
+
+
+def test_fused_mixer_block_matches_plain():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.mixer_block as mb
+
+    B, N, D, TD, CD = 8, 20, 32, 24, 64
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(TD, N), rn(TD), rn(N, TD), rn(N), rn(D), rn(D),
+            rn(CD, D), rn(CD), rn(D, CD), rn(D))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = np.asarray(mb.fused_mixer_block(x, *args, bt=2))
+    finally:
+        pl.pallas_call = orig
+
+    ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1, wc2, bc2 = args
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return ((x - mu) * lax.rsqrt(var + 1e-5)) * w + b
+
+    y = jnp.einsum("oi,bid->bod", wt1, ln(x, ln1w, ln1b)) + bt1[None, :, None]
+    y = jnp.einsum("oi,bid->bod", wt2, jax.nn.gelu(y, approximate=False)) + bt2[None, :, None]
+    h = x + y
+    y2 = jax.nn.gelu(ln(h, ln2w, ln2b) @ wc1.T + bc1, approximate=False) @ wc2.T + bc2
+    want = np.asarray(h + y2)
+    assert np.abs(got - want).max() < 1e-5
