@@ -1,0 +1,264 @@
+"""DCNv2 module surface: deformable conv + deformable PSROI pooling.
+
+TPU-native rebuild of the reference's inline-CUDA DCNv2
+(/root/reference/models_jittor/utils/dcn_v2.py): the im2col/col2im/coord-grad
+kernels and cuBLAS batched GEMMs (ln 66-807) become ops/deform.deform_conv2d
+(bilinear gathers + one grouped MXU matmul, gradients via autodiff); the
+module wrappers DeformConv / DCNv2 / DCN (ln 1241-1360), the registry HEADS
+(ln 12-34), the ``deform_conv2d_jt`` shim (ln 1532-1542), and deformable PSROI
+pooling (DeformablePSROIPoolForwardKernel, ln 835-1201) are reproduced here
+with NCHW in/out for API parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .deform import deform_conv2d as _deform_conv2d_nhwc
+
+
+class Registry:
+    """Minimal name->class registry (dcn_v2.py:12-34)."""
+
+    def __init__(self, name):
+        self.name = name
+        self._modules = {}
+
+    def register_module(self, cls=None):
+        def _register(c):
+            self._modules[c.__name__] = c
+            return c
+
+        return _register(cls) if cls is not None else _register
+
+    def get(self, name):
+        return self._modules[name]
+
+
+HEADS = Registry("heads")
+
+
+def dcn_v2_conv(x, offset, mask, weight, bias, stride=1, padding=0,
+                dilation=1, deformable_groups=1):
+    """Functional DCNv2 conv on NCHW tensors (dcn_v2.py:813-832 semantics).
+
+    offset: (B, 2*G*kh*kw, Ho, Wo) with (Δy, Δx) interleaved per tap within
+    each group — the CUDA kernel's layout; mask: (B, G*kh*kw, Ho, Wo).
+    """
+    xh = jnp.transpose(x, (0, 2, 3, 1))
+    off = jnp.transpose(offset, (0, 2, 3, 1))
+    msk = jnp.transpose(mask, (0, 2, 3, 1)) if mask is not None else None
+    out = _deform_conv2d_nhwc(
+        xh, off, weight, bias, stride=stride, padding=padding,
+        dilation=dilation, mask=msk,
+    )
+    return jnp.transpose(out, (0, 3, 1, 2))
+
+
+def deform_conv2d_jt(input, offset, weight, bias=None, stride=(1, 1),
+                     padding=(0, 0), dilation=(1, 1), mask=None):
+    """torchvision-signature shim (dcn_v2.py:1532-1542): NCHW tensors,
+    interleaved offsets, optional modulation mask."""
+    return dcn_v2_conv(input, offset, mask, weight, bias, stride, padding,
+                       dilation)
+
+
+def dcn_v2_pooling(input, rois, trans, spatial_scale, pooled_size, output_dim,
+                   no_trans, group_size=1, part_size=None, sample_per_part=4,
+                   trans_std=0.0):
+    """Deformable PSROI pooling (DeformablePSROIPoolForwardKernel semantics,
+    dcn_v2.py:884-960), vectorized over (roi, ctop, ph, pw, samples).
+
+    input: (B, C, H, W); rois: (R, 5) [batch_idx, x1, y1, x2, y2];
+    trans: (R, 2*num_classes, part_size, part_size) or unused when no_trans.
+    Returns (out, top_count), each (R, output_dim, pooled, pooled).
+    """
+    B, C, H, W = input.shape
+    R = rois.shape[0]
+    P = pooled_size
+    part_size = part_size or pooled_size
+    num_classes = 1 if no_trans else (trans.shape[1] // 2)
+    channels_each_class = output_dim // num_classes
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = jnp.round(rois[:, 1]) * spatial_scale - 0.5
+    y1 = jnp.round(rois[:, 2]) * spatial_scale - 0.5
+    x2 = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    y2 = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 0.1)
+    roi_h = jnp.maximum(y2 - y1, 0.1)
+    bin_w = roi_w / P  # (R,)
+    bin_h = roi_h / P
+    sub_w = bin_w / sample_per_part
+    sub_h = bin_h / sample_per_part
+
+    ph = jnp.arange(P)
+    pw = jnp.arange(P)
+    part_h = jnp.floor(ph / P * part_size).astype(jnp.int32)  # (P,)
+    part_w = jnp.floor(pw / P * part_size).astype(jnp.int32)
+    gh = jnp.clip(jnp.floor(ph * group_size / P), 0, group_size - 1).astype(jnp.int32)
+    gw = jnp.clip(jnp.floor(pw * group_size / P), 0, group_size - 1).astype(jnp.int32)
+
+    ctop = jnp.arange(output_dim)
+    class_id = ctop // channels_each_class  # (O,)
+
+    if no_trans:
+        tx = jnp.zeros((R, output_dim, P, P))
+        ty = jnp.zeros((R, output_dim, P, P))
+    else:
+        # trans[(n, class_id, 0/1, part_h, part_w)]
+        t = trans.reshape(R, num_classes, 2, part_size, part_size)
+        tx = t[:, class_id, 0][:, :, part_h][:, :, :, part_w] * trans_std
+        ty = t[:, class_id, 1][:, :, part_h][:, :, :, part_w] * trans_std
+
+    wstart = pw[None, None, None, :] * bin_w[:, None, None, None] + x1[:, None, None, None]
+    wstart = wstart + tx * roi_w[:, None, None, None]
+    hstart = ph[None, None, :, None] * bin_h[:, None, None, None] + y1[:, None, None, None]
+    hstart = hstart + ty * roi_h[:, None, None, None]
+
+    iw = jnp.arange(sample_per_part)
+    # sample coords: (R, O, P, P, S, S)
+    w_s = wstart[..., None, None] + iw[None, :] * sub_w[:, None, None, None, None, None]
+    h_s = hstart[..., None, None] + (iw * 1.0)[:, None] * sub_h[:, None, None, None, None, None]
+    valid = (
+        (w_s >= -0.5) & (w_s <= W - 0.5) & (h_s >= -0.5) & (h_s <= H - 0.5)
+    )
+    w_c = jnp.clip(w_s, 0.0, W - 1.0)
+    h_c = jnp.clip(h_s, 0.0, H - 1.0)
+
+    # channel per (ctop, ph, pw): (O, P, P)
+    chan = (ctop[:, None, None] * group_size + gh[None, :, None]) * group_size + gw[None, None, :]
+
+    # gather feature maps: data (R, O, P, P, H, W) is too big to materialize;
+    # instead gather per corner with advanced indexing on (batch, chan, y, x).
+    x0 = jnp.floor(w_c).astype(jnp.int32)
+    y0 = jnp.floor(h_c).astype(jnp.int32)
+    x1i = jnp.ceil(w_c).astype(jnp.int32)
+    y1i = jnp.ceil(h_c).astype(jnp.int32)
+    dx = w_c - x0
+    dy = h_c - y0
+
+    bidx = batch_idx[:, None, None, None, None, None]
+    cidx = chan[None, :, :, :, None, None]
+
+    def g(yy, xx):
+        return input[bidx, cidx, yy, xx]
+
+    val = (
+        (1 - dx) * (1 - dy) * g(y0, x0)
+        + (1 - dx) * dy * g(y1i, x0)
+        + dx * (1 - dy) * g(y0, x1i)
+        + dx * dy * g(y1i, x1i)
+    )
+    val = jnp.where(valid, val, 0.0)
+    cnt = valid.sum(axis=(-1, -2)).astype(input.dtype)
+    s = val.sum(axis=(-1, -2))
+    out = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
+    return out, cnt
+
+
+# ---------------------------------------------------------------------------
+# module wrappers (functional objects holding torch-layout params)
+# ---------------------------------------------------------------------------
+
+
+class DeformConv:
+    """dcn_v2.py:1241-1289: deformable conv with externally supplied offsets
+    (mask = ones)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, deformable_groups=1, bias=False,
+                 seed=0):
+        self.kernel_size = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+        self.stride, self.padding, self.dilation = stride, padding, dilation
+        self.deformable_groups = deformable_groups
+        n = in_channels * self.kernel_size[0] * self.kernel_size[1]
+        stdv = 1.0 / math.sqrt(n)
+        rng = np.random.default_rng(seed)
+        self.weight = jnp.asarray(
+            rng.uniform(-stdv, stdv, (out_channels, in_channels, *self.kernel_size)),
+            jnp.float32,
+        )
+        self.bias = jnp.zeros((out_channels,)) if bias else jnp.zeros((out_channels,))
+
+    def __call__(self, x, offset):
+        B, _, Ho, Wo = offset.shape
+        mask = jnp.ones((B, offset.shape[1] // 2, Ho, Wo), x.dtype)
+        return dcn_v2_conv(x, offset, mask, self.weight, self.bias,
+                           self.stride, self.padding, self.dilation,
+                           self.deformable_groups)
+
+
+class DCNv2(DeformConv):
+    """dcn_v2.py:1291-1328: modulated deformable conv, offsets+mask supplied."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride,
+                 padding, dilation=1, deformable_groups=1, seed=0):
+        super().__init__(in_channels, out_channels, kernel_size, stride,
+                         padding, dilation, deformable_groups, bias=True,
+                         seed=seed)
+
+    def __call__(self, x, offset, mask):
+        return dcn_v2_conv(x, offset, mask, self.weight, self.bias,
+                           self.stride, self.padding, self.dilation,
+                           self.deformable_groups)
+
+
+@HEADS.register_module()
+class DCN(DCNv2):
+    """dcn_v2.py:1330-1360: offsets+mask generated by an internal conv."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride,
+                 padding, dilation=1, deformable_groups=1, seed=0):
+        super().__init__(in_channels, out_channels, kernel_size, stride,
+                         padding, dilation, deformable_groups, seed=seed)
+        ch = deformable_groups * 3 * self.kernel_size[0] * self.kernel_size[1]
+        self.conv_offset_mask = {
+            "weight": jnp.zeros((ch, in_channels, *self.kernel_size)),
+            "bias": jnp.zeros((ch,)),
+        }
+
+    def __call__(self, x):
+        from ..core import nnf
+
+        xh = jnp.transpose(x, (0, 2, 3, 1))
+        om = nnf.conv2d(self.conv_offset_mask, xh, stride=self.stride,
+                        padding=self.padding)
+        om = jnp.transpose(om, (0, 3, 1, 2))
+        o1, o2, mask = jnp.split(om, 3, axis=1)
+        offset = jnp.concatenate([o1, o2], axis=1)
+        mask = jax.nn.sigmoid(mask)
+        return dcn_v2_conv(x, offset, mask, self.weight, self.bias,
+                           self.stride, self.padding, self.dilation,
+                           self.deformable_groups)
+
+
+class DCNv2Pooling:
+    """dcn_v2.py:1363-1420: deformable PSROI pooling with external trans."""
+
+    def __init__(self, spatial_scale, pooled_size, output_dim, no_trans,
+                 group_size=1, part_size=None, sample_per_part=4,
+                 trans_std=0.0):
+        self.spatial_scale = spatial_scale
+        self.pooled_size = pooled_size
+        self.output_dim = output_dim
+        self.no_trans = no_trans
+        self.group_size = group_size
+        self.part_size = part_size or pooled_size
+        self.sample_per_part = sample_per_part
+        self.trans_std = trans_std
+
+    def __call__(self, input, rois, trans=None):
+        if trans is None:
+            trans = jnp.zeros((rois.shape[0], 2, self.part_size, self.part_size))
+        out, _ = dcn_v2_pooling(
+            input, rois, trans, self.spatial_scale, self.pooled_size,
+            self.output_dim, self.no_trans, self.group_size, self.part_size,
+            self.sample_per_part, self.trans_std,
+        )
+        return out

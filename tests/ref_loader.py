@@ -201,6 +201,11 @@ def _install_cupy():
         raise RuntimeError("cupy stub: no CUDA available in tests")
 
     cuda.compile_with_cache = _no_cuda
+
+    class _FakeNdarray:  # einops probes cupy.ndarray for backend detection
+        pass
+
+    cupy.ndarray = _FakeNdarray
     cupy._util = util
     cupy.cuda = cuda
     sys.modules.update(

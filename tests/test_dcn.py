@@ -1,0 +1,89 @@
+"""DCNv2 surface tests: conv vs the torchvision-semantics stub; pooling sanity
+mirroring the reference's embedded self-tests (dcn_v2.py:1485-1546)."""
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import assert_close
+from ref_loader import deform_conv2d as tv_deform_conv2d
+
+from jittor_mlp_tpu.ops.deform import deform_conv2d as jx_deform_conv2d
+from jittor_mlp_tpu.ops import dcn
+
+
+def test_deform_conv2d_matches_torchvision_semantics():
+    rng = np.random.default_rng(0)
+    B, C, H, W, O, kh, kw, G = 2, 8, 9, 10, 12, 3, 3, 2
+    x = rng.standard_normal((B, C, H, W)).astype("float32")
+    off = (rng.standard_normal((B, 2 * G * kh * kw, H, W)) * 1.5).astype("float32")
+    msk = rng.uniform(0, 1, (B, G * kh * kw, H, W)).astype("float32")
+    w = rng.standard_normal((O, C, kh, kw)).astype("float32") * 0.1
+    b = rng.standard_normal((O,)).astype("float32")
+
+    want = tv_deform_conv2d(
+        torch.from_numpy(x), torch.from_numpy(off), torch.from_numpy(w),
+        torch.from_numpy(b), stride=1, padding=1, dilation=1,
+        mask=torch.from_numpy(msk),
+    ).numpy()
+    got = np.asarray(
+        jx_deform_conv2d(
+            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+            jnp.transpose(jnp.asarray(off), (0, 2, 3, 1)),
+            jnp.asarray(w), jnp.asarray(b), stride=1, padding=1,
+            mask=jnp.transpose(jnp.asarray(msk), (0, 2, 3, 1)),
+        )
+    ).transpose(0, 3, 1, 2)
+    assert_close(got, want, tol=1e-4, name="deform_conv2d")
+
+
+def test_deform_conv_zero_offset_equals_conv():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 8, 8)).astype("float32")
+    w = rng.standard_normal((6, 4, 3, 3)).astype("float32") * 0.2
+    off = np.zeros((1, 2 * 9, 8, 8), "float32")
+    got = np.asarray(dcn.dcn_v2_conv(
+        jnp.asarray(x), jnp.asarray(off), None, jnp.asarray(w), None,
+        stride=1, padding=1))
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), padding=1
+    ).numpy()
+    assert_close(got, want, tol=1e-4, name="zero-offset conv")
+
+
+def test_dcn_module_forward_and_grad():
+    m = dcn.DCN(4, 6, 3, stride=1, padding=1, deformable_groups=1)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 4, 8, 8)),
+                    jnp.float32)
+    out = m(x)
+    assert out.shape == (2, 6, 8, 8)
+
+    def loss(w):
+        m2 = dcn.DCN(4, 6, 3, 1, 1)
+        m2.weight = w
+        return m2(x).sum()
+
+    g = jax.grad(loss)(m.weight)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_psroi_pooling_uniform_average():
+    # constant input, no_trans, ROI covering a region -> output equals const
+    C = 8
+    x = jnp.full((1, C, 16, 16), 3.0)
+    rois = jnp.asarray([[0, 0, 0, 7, 7]], jnp.float32)
+    pool = dcn.DCNv2Pooling(spatial_scale=1.0, pooled_size=2, output_dim=C,
+                            no_trans=True, group_size=2)
+    out = pool(x, rois)
+    assert out.shape == (1, C, 2, 2)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)
+
+
+def test_deform_conv2d_jt_shim():
+    x = jnp.ones((1, 4, 6, 6))
+    w = jnp.ones((4, 4, 1, 1)) * 0.25
+    off = jnp.zeros((1, 2, 6, 6))
+    out = dcn.deform_conv2d_jt(x, off, w)
+    assert out.shape == (1, 4, 6, 6)
+    np.testing.assert_allclose(np.asarray(out), 4 * 0.25, rtol=1e-5)
