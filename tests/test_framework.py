@@ -73,3 +73,29 @@ def test_resize_pos_embed():
     out = resize_pos_embed(pe, 1 + 64, has_cls_token=True)  # -> 8x8 grid
     assert out.shape == (1, 65, 8)
     np.testing.assert_allclose(np.asarray(out[0, 0]), pe[0, 0], rtol=1e-6)
+
+
+def test_batch_sharded_forward_matches_single_device():
+    """SURVEY §4(e): DP-sharded inference must produce the same logits."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jittor_mlp_tpu.parallel import make_mesh
+
+    m = jm.MLPMixerForImageClassification(
+        d_model=32, depth=2, patch_size=8, image_size=32, num_classes=10
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 3, 32, 32)), jnp.float32
+    )
+    single = np.asarray(jax.jit(m.apply)(m.params, x))
+
+    mesh = make_mesh(8, model_parallel=1)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(
+        m.params, NamedSharding(mesh, P())
+    )
+    with mesh:
+        sharded = np.asarray(jax.jit(m.apply)(ps, xs))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-5)

@@ -44,3 +44,32 @@ def test_fused_mixer_block_matches_plain():
     y2 = jax.nn.gelu(ln(h, ln2w, ln2b) @ wc1.T + bc1, approximate=False) @ wc2.T + bc2
     want = np.asarray(h + y2)
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_axial_shift_pallas_matches_xla_and_vjp():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.shift_kernel as sk
+    from jittor_mlp_tpu.ops.shift import axial_shift
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6, 7, 10)), jnp.float32
+    )
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        for axis in (1, 2):
+            got = np.asarray(sk.axial_shift_pallas(x, 3, axis))
+            want = np.asarray(axial_shift(x, 3, axis))
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+        # custom VJP equals autodiff of the XLA lowering
+        g_pallas = jax.grad(lambda v: (sk.axial_shift_pallas(v, 3, 1) ** 2).sum())(x)
+        g_xla = jax.grad(lambda v: (axial_shift(v, 3, 1) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-6)
+    finally:
+        pl.pallas_call = orig
