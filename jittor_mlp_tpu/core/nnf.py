@@ -253,13 +253,17 @@ def dropout(rng, x, rate, train):
 
 
 def drop_path(rng, x, rate, train):
-    """Stochastic depth per sample (timm DropPath semantics)."""
-    if not train or rate == 0.0:
+    """Stochastic depth per sample (timm DropPath semantics).
+
+    ``rate`` may be a traced scalar (stacked per-layer rates under lax.scan);
+    identity when not training or no rng is threaded.
+    """
+    if not train or rng is None:
         return x
-    keep = 1.0 - rate
+    keep = jnp.asarray(1.0 - rate, jnp.float32)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -290,4 +294,30 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
         return fn(bp, h), None
 
     y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
+    return y
+
+
+def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
+    """scan_blocks with a per-layer rng: block_fn(bp, h, rng_layer).
+
+    rng_layer = fold_in(rng, layer_index); passes None when rng is None so
+    eval paths trace without random ops.
+    """
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    fn = jax.checkpoint(block_fn) if remat else block_fn
+
+    if rng is None:
+        def body(h, bp):
+            return fn(bp, h, None), None
+
+        y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
+        return y
+
+    idx = jnp.arange(depth)
+
+    def body(h, xs):
+        bp, i = xs
+        return fn(bp, h, jax.random.fold_in(rng, i)), None
+
+    y, _ = lax.scan(body, x, (stacked_params, idx), unroll=unroll)
     return y

@@ -53,13 +53,25 @@ def ActiveMLP(
 ):
     n_stages = len(depths)
 
+    import numpy as _np
+
+    dpr_all = _np.linspace(0, drop_path_rate, sum(depths), dtype=_np.float32)
+
     def apply(params, x, train=False, rng=None):
+        import jax as _jax
+
         x = jnp.transpose(x, (0, 2, 3, 1))
         x = nnf.conv2d(params["patch_embed"], x, stride=4, padding=2)
         offset = None
         for i in range(n_stages):
             dim = embed_dims[i]
             for j in range(depths[i]):
+                gidx = sum(depths[:i]) + j
+                if rng is not None and train:
+                    r1, r2 = _jax.random.split(_jax.random.fold_in(rng, gidx))
+                else:
+                    r1 = r2 = None
+                dprv = float(dpr_all[gidx])
                 bp = params["blocks"][i][j]
                 if j % intv == 0 and j != depths[i] - 1:
                     # PEG, then generate new offsets (active_mlp.py:330-339)
@@ -70,10 +82,10 @@ def ActiveMLP(
                     offset = jnp.repeat(o, share_dims[i], axis=-1)
                 y = nnf.layer_norm(bp["norm1"], x)
                 y = _atm_layer(bp["atm"], y, offset, dim)
-                x = x + y
+                x = x + nnf.drop_path(r1, y, dprv, train)
                 y = nnf.layer_norm(bp["norm2"], x)
                 y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))
-                x = x + y
+                x = x + nnf.drop_path(r2, y, dprv, train)
                 if "downsample" in bp:
                     x = nnf.conv2d(bp["downsample"]["proj"], x, stride=2, padding=1)
         B, H, W, C = x.shape

@@ -10,6 +10,9 @@ GELU, sum, GroupNorm, 1x1 conv. Swin-style hierarchy with conv PatchMerging
 
 from __future__ import annotations
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 from ..core import nnf, pytree
@@ -71,15 +74,19 @@ def AS_MLP(
         for i in range(n_layers):
             lp = params["layers"][i]
 
-            def block(bp, h):
+            def block(bp, h, r):
+                r1, r2 = (None, None) if r is None else jax.random.split(r)
                 y = _gn(bp["norm1"], h)
                 y = _axial_shift_block(bp["axial_shift"], y, shift_size)
-                h = h + y
+                h = h + nnf.drop_path(r1, y, bp["_dpr"], train)
                 y = _gn(bp["norm2"], h)
                 y = _conv11(bp["mlp"]["fc2"], nnf.gelu(_conv11(bp["mlp"]["fc1"], y)))
-                return h + y
+                return h + nnf.drop_path(r2, y, bp["_dpr"], train)
 
-            x = nnf.scan_blocks(block, lp["blocks"], x, remat=use_checkpoint)
+            x = nnf.scan_blocks_rng(
+                block, lp["blocks"], x, rng if train else None,
+                remat=use_checkpoint,
+            )
             if "downsample" in lp:
                 x0 = x[:, 0::2, 0::2]
                 x1 = x[:, 1::2, 0::2]
@@ -92,11 +99,18 @@ def AS_MLP(
         x = jnp.mean(x, axis=(1, 2))
         return nnf.linear(params["head"], x)
 
+    # stochastic-depth decay rule (as_mlp.py:393-394)
+    total = sum(depths)
+    dpr = np.linspace(0, drop_path_rate, total, dtype=np.float32)
+
     def _structure(nested):
         layers = []
+        off = 0
         for i in range(n_layers):
             st = nested["layers"][str(i)]
             entry = {"blocks": pytree.stack_numbered(st["blocks"])}
+            entry["blocks"]["_dpr"] = jnp.asarray(dpr[off : off + depths[i]])
+            off += depths[i]
             if "downsample" in st:
                 entry["downsample"] = st["downsample"]
             layers.append(entry)

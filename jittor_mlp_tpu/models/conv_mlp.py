@@ -55,13 +55,16 @@ def ConvMLP(
         for si in range(n_stages):
             st = params["stages"][si]
 
-            def block(bp, h):
+            def block(bp, h, r):
+                import jax as _jax
+
+                r1, r2 = (None, None) if r is None else _jax.random.split(r)
                 y = nnf.layer_norm(bp["norm1"], h)
                 y = nnf.linear(
                     bp["channel_mlp1"]["fc2"],
                     nnf.gelu(nnf.linear(bp["channel_mlp1"]["fc1"], y)),
                 )
-                h = h + y
+                h = h + nnf.drop_path(r1, y, bp["_dpr"], train)
                 y = nnf.layer_norm(bp["connect_norm"], h)
                 h = nnf.conv2d(bp["connect"], y, padding=1, groups=y.shape[-1])
                 y = nnf.layer_norm(bp["norm2"], h)
@@ -69,9 +72,9 @@ def ConvMLP(
                     bp["channel_mlp2"]["fc2"],
                     nnf.gelu(nnf.linear(bp["channel_mlp2"]["fc1"], y)),
                 )
-                return h + y
+                return h + nnf.drop_path(r2, y, bp["_dpr"], train)
 
-            x = nnf.scan_blocks(block, st["blocks"], x)
+            x = nnf.scan_blocks_rng(block, st["blocks"], x, rng if train else None)
             if "downsample" in st:
                 x = nnf.conv2d(st["downsample"], x, stride=2, padding=1)
 
@@ -83,11 +86,17 @@ def ConvMLP(
         x = jnp.mean(x, axis=1)
         return nnf.linear(params["head"], x)
 
+    import numpy as _np
+
     def _structure(nested):
         stages = []
         for si in range(n_stages):
             st = nested["stages"][str(si)]
             entry = {"blocks": pytree.stack_numbered(st["blocks"])}
+            # conv_mlp.py:194: per-stage linspace(0, 0.1, num_blocks)
+            entry["blocks"]["_dpr"] = jnp.asarray(
+                _np.linspace(0, 0.1, depth[si], dtype=_np.float32)
+            )
             if "downsample_mlp" in st and "downsample" in st["downsample_mlp"]:
                 entry["downsample"] = st["downsample_mlp"]["downsample"]
             stages.append(entry)

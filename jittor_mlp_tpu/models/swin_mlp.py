@@ -32,7 +32,13 @@ def _spatial_mlp(p, x, num_heads, ws2):
     return y.transpose(0, 2, 1, 3)
 
 
-def _swin_block(bp, x, H, W, C, num_heads, window_size, shift_size):
+def _swin_block(bp, x, H, W, C, num_heads, window_size, shift_size,
+                dpr=0.0, train=False, rng=None):
+    import jax as _jax
+
+    from ..core.nnf import drop_path
+
+    r1, r2 = (None, None) if rng is None else _jax.random.split(rng)
     ws = window_size
     B = x.shape[0]
     shortcut = x
@@ -49,10 +55,10 @@ def _swin_block(bp, x, H, W, C, num_heads, window_size, shift_size):
     if shift_size > 0:
         y = y[:, pt : Hp - pb, pl : Wp - pr, :]
     y = y.reshape(B, H * W, C)
-    x = shortcut + y
+    x = shortcut + drop_path(r1, y, dpr, train)
     z = nnf.layer_norm(bp["norm2"], x)
     z = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], z)))
-    return x + z
+    return x + drop_path(r2, z, dpr, train)
 
 
 def SwinMLP(
@@ -87,7 +93,13 @@ def SwinMLP(
             ws = min(res)
         return dim, res, ws
 
+    import numpy as _np
+
+    dpr_all = _np.linspace(0, drop_path_rate, sum(depths), dtype=_np.float32)
+
     def apply(params, x, train=False, rng=None):
+        import jax as _jax
+
         x = jnp.transpose(x, (0, 2, 3, 1))
         x = nnf.patch_embed(params["patch_embed"]["proj"], x, patch_size)
         B = x.shape[0]
@@ -102,14 +114,15 @@ def SwinMLP(
             lp = params["layers"][i]
             for j, bp in enumerate(lp["blocks"]):
                 shift = 0 if j % 2 == 0 or min(res) <= window_size else ws // 2
+                gidx = sum(depths[:i]) + j
+                r = None if (rng is None or not train) else _jax.random.fold_in(rng, gidx)
                 blk = _swin_block
                 if use_checkpoint:
-                    import jax
-
-                    blk = jax.checkpoint(
-                        _swin_block, static_argnums=(2, 3, 4, 5, 6, 7)
+                    blk = _jax.checkpoint(
+                        _swin_block, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9)
                     )
-                x = blk(bp, x, H, W, dim, num_heads[i], ws, shift)
+                x = blk(bp, x, H, W, dim, num_heads[i], ws, shift,
+                        float(dpr_all[gidx]), train, r)
             if "downsample" in lp:
                 x = x.reshape(B, H, W, dim)
                 x0 = x[:, 0::2, 0::2]

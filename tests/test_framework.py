@@ -99,3 +99,24 @@ def test_batch_sharded_forward_matches_single_device():
     with mesh:
         sharded = np.asarray(jax.jit(m.apply)(ps, xs))
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-5)
+
+
+def test_drop_path_training_mode():
+    import jax
+
+    m = jm.AS_MLP(img_size=16, patch_size=4, embed_dim=8, depths=[2], shift_size=3,
+                  num_classes=4, drop_path_rate=0.5)
+    x = np.random.default_rng(0).standard_normal((4, 3, 16, 16)).astype("float32")
+    ev = np.asarray(m.eval()(x))
+
+    m.train()
+    t1 = np.asarray(m(x, rng=jax.random.PRNGKey(0)))
+    t2 = np.asarray(m(x, rng=jax.random.PRNGKey(1)))
+    t1b = np.asarray(m(x, rng=jax.random.PRNGKey(0)))
+    assert not np.allclose(t1, t2), "different rng must give different outputs"
+    np.testing.assert_allclose(t1, t1b, rtol=1e-6)  # deterministic given rng
+    # eval path unaffected by the drop_path rate
+    m2 = jm.AS_MLP(img_size=16, patch_size=4, embed_dim=8, depths=[2], shift_size=3,
+                   num_classes=4, drop_path_rate=0.0)
+    m2.params = jax.tree_util.tree_map(lambda a, b: b, m2.params, m.params)
+    np.testing.assert_allclose(np.asarray(m2.eval()(x)), ev, rtol=1e-5)
