@@ -52,6 +52,17 @@ class Model:
     def param_count(self):
         return pytree.param_count(self.params)
 
+    def flops(self, input_shape=(1, 3, 224, 224)):
+        """Forward-pass FLOPs from XLA's cost analysis (the counterpart of the
+        reference's hand-written .flops() methods, e.g. swin_mlp.py:163-179)."""
+        lowered = jax.jit(lambda p, x: self.apply(p, x)).lower(
+            self.params, jnp.zeros(input_shape, jnp.float32)
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+
     def to_bf16(self):
         self.params = pytree.cast_floats(self.params, jnp.bfloat16)
         self._jit_cache.clear()
