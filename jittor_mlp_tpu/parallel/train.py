@@ -52,11 +52,13 @@ def batch_sharding(mesh):
     }
 
 
-def make_train_step(apply_fn, optimizer, mesh=None, param_shardings=None):
+def make_train_step(apply_fn, optimizer, mesh=None):
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, loss).
 
-    With ``mesh``, inputs/outputs carry NamedShardings: batch over 'data',
-    params per ``shard_params`` (or the provided tree), loss replicated.
+    Sharding comes from the inputs' NamedShardings (place params with
+    ``init_sharded`` and batches with ``batch_sharding``); XLA's SPMD
+    partitioner propagates them and inserts the ICI collectives, so the step
+    itself is mesh-agnostic.
     """
 
     def loss_fn(params, batch, rng):
@@ -69,13 +71,10 @@ def make_train_step(apply_fn, optimizer, mesh=None, param_shardings=None):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1))
-
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def init_sharded(params, optimizer, mesh, model_parallel=None):
+def init_sharded(params, optimizer, mesh):
     """Place params/opt_state on the mesh with TP shardings applied."""
     shardings = shard_params(params, mesh)
     params = jax.device_put(params, shardings)
