@@ -23,23 +23,14 @@ ITERS = 20
 
 
 def main():
-    import os
-
     import jax
-
-    # persistent compile cache: first-compile over the axon tunnel takes
-    # minutes; cached reruns of the same protocol skip it when supported
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
     from jax import lax
 
     import jittor_mlp_tpu as jm
     from jittor_mlp_tpu import config
+
+    config.enable_compile_cache()
 
     model = jm.MLPMixerForImageClassification(d_model=768, depth=12, token_dim=384)
     model.to_bf16()

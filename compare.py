@@ -91,6 +91,8 @@ def main():
     import jittor_mlp_tpu as jm
     from jittor_mlp_tpu import config
 
+    config.enable_compile_cache()
+
     ref_mod, ref_cls, our_name, kwargs = CONFIGS[args.model]
     import torch
 
@@ -135,7 +137,10 @@ def main():
 
             def body(i, carry):
                 acc, x = carry
-                out = apply(params, x + acc * jnp.bfloat16(1e-8))
+                # keep the perturbation bf16: an f32 promotion would upcast
+                # the whole model and disable fused-kernel fast paths
+                xp = x + (acc * 1e-8).astype(jnp.bfloat16)
+                out = apply(params, xp)
                 return acc + out[0, 0].astype(jnp.float32), x
 
             acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0.0), x))

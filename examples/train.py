@@ -43,11 +43,14 @@ def main():
 
     import jittor_mlp_tpu as jm
     from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu import config
     from jittor_mlp_tpu.parallel.train import (
         batch_sharding,
-        cross_entropy_loss,
         init_sharded,
+        make_train_step,
     )
+
+    config.enable_compile_cache()
 
     kwargs = {}
     if args.model == "MLPMixerForImageClassification":
@@ -63,15 +66,7 @@ def main():
     params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
     bsh = batch_sharding(mesh)
 
-    @jax.jit
-    def train_step(params, opt_state, batch, rng):
-        def loss_fn(p):
-            logits = model.apply(p, batch["image"], train=True, rng=rng)
-            return cross_entropy_loss(logits, batch["label"])
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    train_step = make_train_step(model.apply, optimizer)
 
     # synthetic class-separable data so loss visibly descends
     rng_np = np.random.default_rng(0)

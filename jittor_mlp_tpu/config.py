@@ -40,3 +40,22 @@ def bf16_mode():
         yield
     finally:
         matmul_precision, compute_dtype = old
+
+
+def enable_compile_cache(path=None):
+    """Persistent XLA compile cache — first compiles over the axon tunnel take
+    minutes; cached reruns skip them. Call from entry points (bench/compare/
+    examples). Prints a note instead of silently degrading when unsupported."""
+    import os
+    import sys
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            os.pardir, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # config option renamed/removed in a future jax
+        print(f"[jittor_mlp_tpu] compile cache disabled: {e}", file=sys.stderr)

@@ -52,7 +52,7 @@ def batch_sharding(mesh):
     }
 
 
-def make_train_step(apply_fn, optimizer, mesh=None):
+def make_train_step(apply_fn, optimizer):
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, loss).
 
     Sharding comes from the inputs' NamedShardings (place params with

@@ -53,7 +53,7 @@ def test_sharded_train_step_runs():
     )
     opt = optax.sgd(1e-2)
     params, opt_state, _ = init_sharded(model.params, opt, mesh)
-    step = make_train_step(model.apply, opt, mesh=mesh)
+    step = make_train_step(model.apply, opt)
     batch = {
         "image": jnp.ones((8, 3, 8, 8), jnp.float32),
         "label": jnp.zeros((8,), jnp.int32),
