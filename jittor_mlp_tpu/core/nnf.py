@@ -198,18 +198,26 @@ def layer_norm_nchw(p, x, eps=1e-5):
     return y
 
 
+# When set (by train_utils.collect_bn_stats), train-mode batch_norm appends
+# (site_id, batch_mean, batch_var) here; scan wrappers turn appends inside
+# scan bodies into stacked scan outputs.
+_bn_sink = None
+
+
 def batch_norm(p, x, eps=1e-5, train=False):
     """torch nn.BatchNorm2d/1d in NHWC (channel-last) form.
 
     Inference uses running stats from the imported state_dict; train mode uses
-    per-batch stats over all non-channel axes (running-stat updates are handled
-    by the trainer via returned aux, not here).
+    per-batch stats over all non-channel axes. Running-stat refresh is a
+    separate recalibration pass (train_utils.recalibrate_bn) using _bn_sink.
     """
     if train:
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes)
         var = jnp.var(xf, axis=axes)
+        if _bn_sink is not None and "_bn_id" in p:
+            _bn_sink.append((p["_bn_id"], mean, var))
     else:
         mean = p["running_mean"].astype(jnp.float32)
         var = p["running_var"].astype(jnp.float32)
@@ -291,10 +299,37 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     fn = jax.checkpoint(block_fn) if remat else block_fn
 
     def body(h, bp):
-        return fn(bp, h), None
+        local, token = _enter_local_sink()
+        out = fn(bp, h)
+        _exit_local_sink(token, local)
+        return out, tuple(local)
 
-    y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
+    y, ys = lax.scan(body, x, stacked_params, unroll=unroll)
+    _flush_scanned_stats(ys)
     return y
+
+
+def _enter_local_sink():
+    """Redirect _bn_sink to a per-scan-body list so stats become scan ys."""
+    global _bn_sink
+    if _bn_sink is None:
+        return (), None
+    local = []
+    token = _bn_sink
+    _bn_sink = local
+    return local, token
+
+
+def _exit_local_sink(token, local):
+    global _bn_sink
+    if token is not None:
+        _bn_sink = token
+
+
+def _flush_scanned_stats(ys):
+    """Append a scan's stacked per-layer stats (leading L axis) to the sink."""
+    if _bn_sink is not None and ys:
+        _bn_sink.extend(ys)
 
 
 def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
@@ -308,16 +343,24 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
 
     if rng is None:
         def body(h, bp):
-            return fn(bp, h, None), None
+            local, token = _enter_local_sink()
+            out = fn(bp, h, None)
+            _exit_local_sink(token, local)
+            return out, tuple(local)
 
-        y, _ = lax.scan(body, x, stacked_params, unroll=unroll)
+        y, ys = lax.scan(body, x, stacked_params, unroll=unroll)
+        _flush_scanned_stats(ys)
         return y
 
     idx = jnp.arange(depth)
 
     def body(h, xs):
         bp, i = xs
-        return fn(bp, h, jax.random.fold_in(rng, i)), None
+        local, token = _enter_local_sink()
+        out = fn(bp, h, jax.random.fold_in(rng, i))
+        _exit_local_sink(token, local)
+        return out, tuple(local)
 
-    y, _ = lax.scan(body, x, (stacked_params, idx), unroll=unroll)
+    y, ys = lax.scan(body, x, (stacked_params, idx), unroll=unroll)
+    _flush_scanned_stats(ys)
     return y

@@ -120,3 +120,38 @@ def test_drop_path_training_mode():
                    num_classes=4, drop_path_rate=0.0)
     m2.params = jax.tree_util.tree_map(lambda a, b: b, m2.params, m.params)
     np.testing.assert_allclose(np.asarray(m2.eval()(x)), ev, rtol=1e-5)
+
+
+def test_bn_recalibration():
+    """After recalibrate_bn on the data distribution, eval-mode outputs track
+    train-mode (batch-stat) outputs; running stats move off their init."""
+    import jax
+
+    from jittor_mlp_tpu.core.train_utils import recalibrate_bn
+
+    m = jm.ConvMixer(dim=16, depth=3, kernel_size=3, patch_size=4, n_classes=5)
+    rng = np.random.default_rng(0)
+    # shifted/scaled data so init running stats (0 mean, 1 var) are wrong
+    batches = [
+        (3.0 + 2.0 * rng.standard_normal((16, 3, 16, 16))).astype("float32")
+        for _ in range(8)
+    ]
+    before = np.asarray(m.params["embedding"]["2"]["running_mean"]).copy()
+
+    recalibrate_bn(m, batches)
+    after = np.asarray(m.params["embedding"]["2"]["running_mean"])
+    assert not np.allclose(before, after)
+
+    # eval with refreshed stats ≈ train-mode forward on a fresh big batch
+    xb = (3.0 + 2.0 * rng.standard_normal((64, 3, 16, 16))).astype("float32")
+    ev = np.asarray(m.eval()(xb))
+    tr = np.asarray(
+        jax.jit(lambda p, x: m.apply(p, x, train=True))(m.params, xb)
+    )
+    err_after = np.abs(ev - tr).max()
+    assert err_after < 0.15, err_after
+
+    # stacked (scanned) BN sites got refreshed too
+    blk_rm = np.asarray(m.params["blocks"]["0"]["fn"]["2"]["running_mean"])
+    assert blk_rm.shape[0] == 3  # stacked over depth
+    assert not np.allclose(blk_rm, 0.0)
