@@ -11,6 +11,10 @@ target, and times the JAX forward with the scalar-fetch sync protocol
 Usage:
   python compare.py --model mlp_mixer [--batch 32] [--iters 100] [--device tpu]
   python compare.py --list
+
+Note: with --device tpu, recurrent models (sequencer) accumulate TPU
+transcendental-approximation drift through their LSTM scans (~1e-3 abs at full
+depth); --device cpu isolates implementation parity (3e-7 for sequencer-S).
 """
 
 from __future__ import annotations
@@ -106,6 +110,13 @@ def main():
     print(f"params: {ours.param_count():,}")
 
     if not args.skip_parity:
+        if args.model in ("s2_mlp_v1", "s2_mlp_v2"):
+            # torch-CPU cascades on the reference's overlapping in-place
+            # shifts (UB); patch in the functional semantics the original
+            # CUDA/Jittor parity harness validated (tests/test_vip_s2mlp.py)
+            from test_vip_s2mlp import _patch_s2_shifts
+
+            _patch_s2_shifts()
         ref = ref_model(ref_mod, ref_cls, **kwargs)
         ours.load_torch_state_dict(ref.state_dict())
         x = torch.randn(2, 3, args.image_size, args.image_size)

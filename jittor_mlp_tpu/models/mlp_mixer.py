@@ -55,7 +55,6 @@ def MLPMixerForImageClassification(
     image_size=224,
     depth=12,
     expansion_factor=4,
-    dropout=0.0,
     token_dim=None,
     use_pallas=True,
     seed=0,

@@ -54,7 +54,9 @@ def ResMLPForImageClassification(
             return h + bp["gamma_2"] * y
 
         x = nnf.scan_blocks(block, params["blocks"], x)
-        x = nnf.affine(params["affine"], x)
+        # NOTE: the reference constructs a final Aff (res_mlp.py:86) but its
+        # forward never applies it (res_mlp.py:91-99) — we keep the params for
+        # state_dict compatibility and reproduce the executed behavior.
         x = nnf.global_avg_pool_tokens(x)
         return nnf.linear(params["head"], x)
 

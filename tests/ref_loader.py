@@ -293,9 +293,17 @@ def load_ref(module_name):
 
 
 def ref_model(module_name, class_name, *args, seed=0, **kwargs):
-    """Build an eval-mode reference model with deterministic init."""
+    """Build an eval-mode reference model with deterministic init.
+
+    Zero-initialized parameters (e.g. WaveMLP/MorphMLP heads, ActiveMLP offset
+    layers) are re-randomized so forward-parity comparisons are never vacuous
+    (a zeroed head makes every output 0 on both sides)."""
     mod = load_ref(module_name)
     torch.manual_seed(seed)
     m = getattr(mod, class_name)(*args, **kwargs)
+    with torch.no_grad():
+        for p in m.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
     m.eval()
     return m
