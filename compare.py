@@ -12,9 +12,12 @@ Usage:
   python compare.py --model mlp_mixer [--batch 32] [--iters 100] [--device tpu]
   python compare.py --list
 
-Note: with --device tpu, recurrent models (sequencer) accumulate TPU
-transcendental-approximation drift through their LSTM scans (~1e-3 abs at full
-depth); --device cpu isolates implementation parity (3e-7 for sequencer-S).
+Note: --device cpu isolates implementation parity (<=1e-6 at full size for
+every family spot-checked: sequencer-S 3e-7, AS-MLP 1.2e-6, CycleMLP-B2
+4e-7). With --device tpu, deep norm/recurrence-heavy models accumulate TPU
+fp32 numerics drift (rsqrt/transcendental approximations, reduction order):
+~6e-4 CycleMLP-B2, ~1e-3 sequencer-S, ~6e-3 AS-MLP — hardware numerics, not
+implementation deviation.
 """
 
 from __future__ import annotations
