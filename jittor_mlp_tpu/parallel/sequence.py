@@ -1,0 +1,81 @@
+"""Sequence (token) parallelism for mixer blocks via shard_map + collectives.
+
+The zoo's token counts are small (≤3136 at 224², SURVEY §5), so SP is about
+demonstrating the scaling recipe, not necessity: tokens shard over a mesh
+axis; channel-mixing is embarrassingly parallel (per-token), and the
+token-mixing matmul pair becomes
+
+    t = psum_g( W1[:, local] @ LN(x_local) )      — partial contraction + psum
+    y_local = W2[local_out, :] @ gelu(t + b1)     — row-sharded second matmul
+
+i.e. Megatron-style 1-D tensor parallelism applied to the token dimension,
+with the all-reduce riding ICI. Used by __graft_entry__.dryrun_multichip and
+tested for exact agreement with the dense block on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.7 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core import nnf
+
+
+def _ln(x, w, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    return (y * w + b).astype(x.dtype)
+
+
+def token_parallel_mixer_block(mesh, axis="model"):
+    """Build fn(x, params) running one mixer block with tokens sharded on
+    ``axis``. params: dict with ln1/ln2 (w, b), token w1 (TD, N), b1 (TD,),
+    w2 (N, TD), b2 (N,), channel w3 (CD, D), b3, w4 (D, CD), b4.
+    """
+
+    def block(x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, w3, b3, w4, b4):
+        # x: (B, N/s, D) local tokens; w1 cols / w2 rows / b2 sharded likewise
+        xn = _ln(x, ln1w, ln1b)
+        t = jnp.einsum("oi,bid->bod", w1, xn)        # partial over local tokens
+        t = lax.psum(t, axis)                         # (B, TD, D) full
+        t = nnf.gelu(t + b1[None, :, None])
+        y = jnp.einsum("oi,bid->bod", w2, t)          # local output tokens
+        h = x + y + b2[None, :, None]
+        # channel mix: purely per-token → no communication
+        hn = _ln(h, ln2w, ln2b)
+        c = nnf.gelu(jnp.matmul(hn, w3.T) + b3)
+        return h + jnp.matmul(c, w4.T) + b4
+
+    specs = (
+        P(None, axis, None),  # x tokens sharded
+        P(), P(),             # ln1
+        P(None, axis), P(),   # w1 cols sharded over tokens, b1 replicated
+        P(axis, None), P(axis),  # w2 rows + b2 sharded over output tokens
+        P(), P(),             # ln2
+        P(), P(), P(), P(),   # channel weights replicated
+    )
+    return shard_map(
+        block, mesh=mesh, in_specs=specs, out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+
+
+def dense_mixer_block(x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, w3, b3, w4, b4):
+    """Reference single-device block for agreement tests."""
+    xn = _ln(x, ln1w, ln1b)
+    t = nnf.gelu(jnp.einsum("oi,bid->bod", w1, xn) + b1[None, :, None])
+    h = x + jnp.einsum("oi,bid->bod", w2, t) + b2[None, :, None]
+    hn = _ln(h, ln2w, ln2b)
+    c = nnf.gelu(jnp.matmul(hn, w3.T) + b3)
+    return h + jnp.matmul(c, w4.T) + b4

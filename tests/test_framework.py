@@ -155,3 +155,33 @@ def test_bn_recalibration():
     blk_rm = np.asarray(m.params["blocks"]["0"]["fn"]["2"]["running_mean"])
     assert blk_rm.shape[0] == 3  # stacked over depth
     assert not np.allclose(blk_rm, 0.0)
+
+
+def test_sequence_parallel_mixer_block():
+    """Token-sharded block (shard_map + psum) == dense block exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu.parallel.sequence import (
+        dense_mixer_block,
+        token_parallel_mixer_block,
+    )
+
+    mesh = make_mesh(8, model_parallel=4)  # 4-way token sharding on 'model'
+    B, N, D, TD, CD = 2, 16, 32, 24, 64
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(TD, N), rn(TD), rn(N, TD), rn(N), rn(D), rn(D),
+            rn(CD, D), rn(CD), rn(D, CD), rn(D))
+    want = np.asarray(dense_mixer_block(x, *args))
+    sp_block = token_parallel_mixer_block(mesh, axis="model")
+    with mesh:
+        got = np.asarray(jax.jit(sp_block)(x, *args))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
