@@ -62,6 +62,15 @@ def linear(p, x):
     return y
 
 
+def conv1x1(p, x):
+    """torch nn.Conv2d(k=1) on channel-last data as a matmul: weight
+    (O, I, 1, 1) → x[..., I] @ W^T (+ bias). Honors the precision knob."""
+    y = jnp.matmul(x, p["weight"][:, :, 0, 0].T, precision=_prec())
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"]
+    return y
+
+
 def conv1d_token(p, x):
     """torch nn.Conv1d(N_in, N_out, kernel_size=1) applied over the token axis.
 
@@ -148,24 +157,6 @@ def max_pool2d(x, kernel, stride, padding):
     )
 
 
-def avg_pool2d(x, kernel, stride=None, padding=0):
-    """torch nn.AvgPool2d (count_include_pad=True default) on NHWC."""
-    kh, kw = (kernel, kernel) if isinstance(kernel, int) else kernel
-    if stride is None:
-        stride = (kh, kw)
-    sh, sw = (stride, stride) if isinstance(stride, int) else stride
-    ph, pw = (padding, padding) if isinstance(padding, int) else padding
-    s = lax.reduce_window(
-        x,
-        jnp.array(0, x.dtype),
-        lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, sh, sw, 1),
-        padding=((0, 0), (ph, ph), (pw, pw), (0, 0)),
-    )
-    return s / (kh * kw)
-
-
 # ---------------------------------------------------------------------------
 # norms
 # ---------------------------------------------------------------------------
@@ -182,19 +173,6 @@ def layer_norm(p, x, eps=1e-5):
         y = y * p["weight"].astype(x.dtype)
         if "bias" in p and p["bias"] is not None:
             y = y + p["bias"].astype(x.dtype)
-    return y
-
-
-def layer_norm_nchw(p, x, eps=1e-5):
-    """LayerNorm over the channel axis of channels-first data (ms_mlp.py:246-270
-    'channels_first'): normalize axis 1 of (B, C, H, W) — here we keep NHWC and
-    normalize the last axis, so this is only needed for genuinely NCHW tensors."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
-    y = (xf - mu) * lax.rsqrt(var + eps)
-    y = y.astype(x.dtype)
-    y = y * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
     return y
 
 

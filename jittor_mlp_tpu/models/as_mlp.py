@@ -26,11 +26,7 @@ def _gn(p, x):
     return nnf.group_norm(p, x, num_groups=1)
 
 
-def _conv11(p, x):
-    y = jnp.matmul(x, p["weight"][:, :, 0, 0].T)
-    if "bias" in p:
-        y = y + p["bias"]
-    return y
+_conv11 = nnf.conv1x1
 
 
 def _axial_shift_block(ap, x, shift_size):

@@ -24,7 +24,7 @@ dynamlp_settings = {
 }
 
 
-def _dyna_op(op, x, length, seg, hidden, axis):
+def _dyna_op(op, x, seg, hidden, axis):
     """axis=2 → mix along W (DynaMixerOp_w); axis=1 → along H (_h).
 
     x: (B, H, W, C). 'Wd' is the stacked per-segment projection
@@ -36,12 +36,13 @@ def _dyna_op(op, x, length, seg, hidden, axis):
         x = jnp.swapaxes(x, 1, 2)
         H, W = W, H
     # per-segment projections; concat order '(s d)' is s-major = stack order
-    p = jnp.einsum("bhwc,soc->bhwso", x, op["wd_w"]) + op["wd_b"]
+    p = jnp.einsum("bhwc,soc->bhwso", x, op["wd_w"],
+                   precision=nnf._prec()) + op["wd_b"]
     attn = p.transpose(0, 1, 3, 2, 4).reshape(B, H, seg, W * hidden)
     attn = nnf.linear(op["attend"], attn).reshape(B, H, seg, W, W)
     attn = nnf.softmax(attn, axis=-1)
     inp = x.reshape(B, H, W, seg, d).transpose(0, 1, 3, 2, 4)  # B,H,s,W,d
-    y = jnp.matmul(attn, inp)  # B,H,s,W,d
+    y = jnp.matmul(attn, inp, precision=nnf._prec())  # B,H,s,W,d
     y = y.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
     y = nnf.linear(op["proc"], y)
     if axis == 1:
@@ -68,20 +69,25 @@ def DynaMixer(model_name="M", image_size=224, in_channels=3, num_classes=1000, s
             x = nnf.patch_embed(st["patch"], x, patch_size[si])
             seg = segment[si]
 
-            def block(bp, h):
+            def block(bp, h, r):
+                import jax as _jax
+
+                r1, r2 = (None, None) if r is None else _jax.random.split(r)
                 y = nnf.layer_norm(bp["0"]["norm"], h)
                 fn = bp["0"]["fn"]
                 y_c = nnf.linear(fn["proj_c"], y)
-                y_h = _dyna_op(fn["op_h"], y, res[si], seg, hidden, axis=1)
-                y_w = _dyna_op(fn["op_w"], y, res[si], seg, hidden, axis=2)
+                y_h = _dyna_op(fn["op_h"], y, seg, hidden, axis=1)
+                y_w = _dyna_op(fn["op_w"], y, seg, hidden, axis=2)
                 y = nnf.linear(fn["proj_o"], y_h + y_w + y_c)
-                h = h + y
+                # DynaMLPBlock wraps both residuals in DropPath(dropout)
+                # (dyna_mlp.py:117,128-130)
+                h = h + nnf.drop_path(r1, y, dropout, train)
                 y = nnf.layer_norm(bp["1"]["norm"], h)
                 y = nnf.gelu(nnf.linear(bp["1"]["fn"]["net"]["0"], y))
                 y = nnf.linear(bp["1"]["fn"]["net"]["3"], y)
-                return h + y
+                return h + nnf.drop_path(r2, y, dropout, train)
 
-            x = nnf.scan_blocks(block, st["blocks"], x)
+            x = nnf.scan_blocks_rng(block, st["blocks"], x, rng if train else None)
         x = jnp.mean(x, axis=(1, 2))
         return nnf.linear(params["head"], x)
 

@@ -35,11 +35,8 @@ _PAD_MODE = {
 
 def _ff11(p, x):
     """FeedForward of 1x1 convs (hire_mlp.py:33-42) as channel-last linears."""
-    w0 = p["net"]["0"]
-    w2 = p["net"]["2"]
-    y = jnp.matmul(x, w0["weight"][:, :, 0, 0].T) + w0["bias"]
-    y = nnf.gelu(y)
-    return jnp.matmul(y, w2["weight"][:, :, 0, 0].T) + w2["bias"]
+    y = nnf.gelu(nnf.conv1x1(p["net"]["0"], x))
+    return nnf.conv1x1(p["net"]["2"], y)
 
 
 def hire_block(bp, x, h, w, step, padding_type):
@@ -84,8 +81,7 @@ def hire_block(bp, x, h, w, step, padding_type):
     xw = jnp.roll(xw, -step, axis=2)
 
     # channel path
-    pc = bp["proj_c"]
-    xc = jnp.matmul(x, pc["weight"][:, :, 0, 0].T) + pc["bias"]
+    xc = nnf.conv1x1(bp["proj_c"], x)
 
     out = xc + xh + xw
     return out[:, :H, :W, :]

@@ -25,11 +25,7 @@ morphmlp_settings = {
 }
 
 
-def _conv11(p, x):
-    y = jnp.matmul(x, p["weight"][:, :, 0, 0].T)
-    if "bias" in p:
-        y = y + p["bias"]
-    return y
+_conv11 = nnf.conv1x1
 
 
 def _morph_fc(bp, x, L):

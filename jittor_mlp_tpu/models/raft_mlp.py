@@ -40,31 +40,26 @@ def _ff(p, x):
     return nnf.linear(p["3"], y)
 
 
-# note: RaftMLP's DropPath (raft_mlp.py:32-44) wraps each Block residual; the
-# constructor defaults drop_path_rate=0.0 and our eval path is identity, so
-# training with nonzero rates should thread rng via Model.train() + rng arg —
-# supported through nnf.drop_path at the call sites below when rate > 0.
-
-
-def _token_block(bp, x):
-    """TokenBlock on (B, K, o): LN over K (via transpose), FF over o, residual."""
+def _token_block(bp, x, dp=None):
+    """TokenBlock on (B, K, o): LN over K (via transpose), FF over o, residual
+    wrapped in DropPath (raft_mlp.py:64-65)."""
     y = jnp.swapaxes(x, 1, 2)
     y = nnf.layer_norm(bp["norm"]["1"], y)
     y = jnp.swapaxes(y, 1, 2)
-    return _ff(bp["fn"], y) + x
+    return _dp(dp, _ff(bp["fn"], y)) + x
 
 
-def _sep_token_block(bp, x, channels, dim):
+def _sep_token_block(bp, x, channels, dim, dp=None):
     """SpatiallySeparatedTokenBlock on (B, C*o1, o2): LN over C only."""
     B = x.shape[0]
     o1 = x.shape[1] // channels
     y = x.reshape(B, channels, o1, dim).transpose(0, 2, 3, 1)  # B,o1,o2,C
     y = nnf.layer_norm(bp["norm"]["1"], y)
     y = y.transpose(0, 3, 1, 2).reshape(B, channels * o1, dim)
-    return _ff(bp["fn"], y) + x
+    return _dp(dp, _ff(bp["fn"], y)) + x
 
 
-def _permuted_block(bp, x, spatial, channels, raft):
+def _permuted_block(bp, x, spatial, channels, raft, dp=None):
     """PermutedBlock on (B, co*o1, r*spatial): LN over channels in (c1 c2)
     order (raft_mlp.py:130-146), FF over r*spatial."""
     B = x.shape[0]
@@ -75,12 +70,20 @@ def _permuted_block(bp, x, spatial, channels, raft):
     y = nnf.layer_norm(bp["norm"]["1"], y)
     y = y.reshape(B, o1, spatial, co, raft).transpose(0, 3, 1, 4, 2)
     y = y.reshape(B, co * o1, raft * spatial)
-    return _ff(bp["fn"], y) + x
+    return _dp(dp, _ff(bp["fn"], y)) + x
 
 
-def _channel_block(bp, x):
+def _channel_block(bp, x, dp=None):
     y = nnf.layer_norm(bp["norm"], x)
-    return _ff(bp["fn"], y) + x
+    return _dp(dp, _ff(bp["fn"], y)) + x
+
+
+def _dp(dp, y):
+    """Apply DropPath when a (rng, rate, train) triple is threaded."""
+    if dp is None:
+        return y
+    rng, rate, train = dp
+    return nnf.drop_path(rng, y, rate, train)
 
 
 def RaftMLP(
@@ -121,8 +124,15 @@ def RaftMLP(
         img = math.ceil(img / p)
     final_hw = img
 
-    def level_forward(lp, x, g):
-        """x: (B, C_in, H, W) NCHW (levels keep the reference layout)."""
+    def level_forward(lp, x, g, train=False, rng=None, ctr=None):
+        """x: (B, C_in, H, W) NCHW (levels keep the reference layout).
+        ``ctr`` is a mutable call counter for per-Block drop-path rngs."""
+
+        def dp():
+            if rng is None or not train or drop_path_rate == 0.0:
+                return None
+            ctr[0] += 1
+            return (jax.random.fold_in(rng, ctr[0]), drop_path_rate, train)
         h = w = g["hw"]
         p = g["patch"]
         if g["bhw"] != g["hw"]:
@@ -140,39 +150,39 @@ def RaftMLP(
         for bp in lp["blocks"]:
             if token_mixing_type == "original_tm":
                 t = jnp.swapaxes(y, 1, 2)  # b c (h w)
-                t = _token_block(bp["1"], t)
+                t = _token_block(bp["1"], t, dp())
                 y = jnp.swapaxes(t, 1, 2)
-                y = _channel_block(bp["3"], y)
+                y = _channel_block(bp["3"], y, dp())
             elif token_mixing_type in ("sep_ln_codim_tm", "sep_ln_ch_tm"):
                 # 'b (h w) c -> b (c w) h'
                 t = y.reshape(B, h, w, Co).transpose(0, 3, 2, 1).reshape(B, Co * w, h)
                 if token_mixing_type == "sep_ln_codim_tm":
-                    t = _token_block(bp["1"], t)
+                    t = _token_block(bp["1"], t, dp())
                 else:
-                    t = _sep_token_block(bp["1"], t, Co, h)
+                    t = _sep_token_block(bp["1"], t, Co, h, dp())
                 # 'b (c w) h -> b (c h) w'
                 t = t.reshape(B, Co, w, h).transpose(0, 1, 3, 2).reshape(B, Co * h, w)
                 if token_mixing_type == "sep_ln_codim_tm":
-                    t = _token_block(bp["3"], t)
+                    t = _token_block(bp["3"], t, dp())
                 else:
-                    t = _sep_token_block(bp["3"], t, Co, w)
+                    t = _sep_token_block(bp["3"], t, Co, w, dp())
                 # 'b (c h) w -> b (h w) c'
                 y = t.reshape(B, Co, h, w).transpose(0, 2, 3, 1).reshape(B, h * w, Co)
-                y = _channel_block(bp["5"], y)
+                y = _channel_block(bp["5"], y, dp())
             else:  # ser_pm
                 co = Co // r
                 # 'b (h w) (chw co) -> b (co w) (chw h)'
                 t = y.reshape(B, h, w, r, co).transpose(0, 4, 2, 3, 1)
                 t = t.reshape(B, co * w, r * h)
-                t = _permuted_block(bp["1"], t, h, Co, r)
+                t = _permuted_block(bp["1"], t, h, Co, r, dp())
                 # 'b (co w) (chw h) -> b (co h) (chw w)'
                 t = t.reshape(B, co, w, r, h).transpose(0, 1, 4, 3, 2)
                 t = t.reshape(B, co * h, r * w)
-                t = _permuted_block(bp["3"], t, w, Co, r)
+                t = _permuted_block(bp["3"], t, w, Co, r, dp())
                 # 'b (co h) (chw w) -> b (h w) (chw co)'
                 y = t.reshape(B, co, h, r, w).transpose(0, 2, 4, 3, 1)
                 y = y.reshape(B, h * w, r * co)
-                y = _channel_block(bp["5"], y)
+                y = _channel_block(bp["5"], y, dp())
         # 'b (h w) c -> b c h w'
         return y.reshape(B, h, w, Co).transpose(0, 3, 1, 2)
 
@@ -189,8 +199,9 @@ def RaftMLP(
 
     def apply(params, x, train=False, rng=None):
         outputs = []
+        ctr = [0]
         for i in range(n_levels):
-            x = level_forward(params["levels"][i], x, geo[i])
+            x = level_forward(params["levels"][i], x, geo[i], train, rng, ctr)
             if shortcut:
                 outputs.append(
                     head_forward(params["heads"][i], x, i == n_levels - 1)

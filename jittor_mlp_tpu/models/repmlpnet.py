@@ -23,11 +23,7 @@ from ..core.model import Model
 from ..utils import pair
 
 
-def _conv11(p, x):
-    y = jnp.matmul(x, p["weight"][:, :, 0, 0].T)
-    if "bias" in p:
-        y = y + p["bias"]
-    return y
+_conv11 = nnf.conv1x1
 
 
 def _conv_bn(p, x, stride=1, padding=0, groups=1, train=False, relu=False):
@@ -37,9 +33,17 @@ def _conv_bn(p, x, stride=1, padding=0, groups=1, train=False, relu=False):
 
 
 def _bn_nchw_grouped(p, x, train=False, eps=1e-5):
-    """BatchNorm2d over axis 1 of (N, S, h, w)."""
-    mean = p["running_mean"]
-    var = p["running_var"]
+    """BatchNorm2d over axis 1 of (N, S, h, w): batch stats in train mode
+    (reporting to the recalibration sink), running stats at eval."""
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 2, 3))
+        var = jnp.var(xf, axis=(0, 2, 3))
+        if nnf._bn_sink is not None and "_bn_id" in p:
+            nnf._bn_sink.append((p["_bn_id"], mean, var))
+    else:
+        mean = p["running_mean"]
+        var = p["running_var"]
     scale = p["weight"] / jnp.sqrt(var + eps)
     shift = p["bias"] - mean * scale
     return x * scale[None, :, None, None] + shift[None, :, None, None]
@@ -63,7 +67,7 @@ def _repmlp_block(bp, x, C, S, h, w, reparam_conv_k, deploy, train):
     # Channel Perceptron: grouped 1x1 FC over tiles (ln 96-102)
     fc_in = parts.reshape(-1, S, h * w)
     wg = bp["fc3"]["weight"][:, :, 0, 0].reshape(S, h * w, h * w)
-    out = jnp.einsum("nsi,sji->nsj", fc_in, wg)
+    out = jnp.einsum("nsi,sji->nsj", fc_in, wg, precision=nnf._prec())
     if deploy:
         out = out + bp["fc3"]["bias"].reshape(S, h * w)
     out = out.reshape(-1, S, h, w)

@@ -44,7 +44,7 @@ def SparseMLP(
     image_size = pair(image_size)
     patch_size = pair(patch_size)
     n_stages = len(depth)
-    dims = [d_model * (2 ** min(i, n_stages - 1)) for i in range(n_stages)]
+    dims = [d_model * 2 ** i for i in range(n_stages)]
 
     def apply(params, x, train=False, rng=None):
         x = jnp.transpose(x, (0, 2, 3, 1))

@@ -28,7 +28,8 @@ def _spatial_mlp(p, x, num_heads, ws2):
     bias = p["bias"].reshape(num_heads, ws2)
     # x: (N, ws2, nH, c) -> (N, nH, ws2, c)
     xh = x.transpose(0, 2, 1, 3)
-    y = jnp.einsum("hji,nhic->nhjc", w, xh) + bias[None, :, :, None]
+    y = jnp.einsum("hji,nhic->nhjc", w, xh,
+                   precision=nnf._prec()) + bias[None, :, :, None]
     return y.transpose(0, 2, 1, 3)
 
 

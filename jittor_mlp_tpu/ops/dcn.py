@@ -184,7 +184,7 @@ class DeformConv:
             rng.uniform(-stdv, stdv, (out_channels, in_channels, *self.kernel_size)),
             jnp.float32,
         )
-        self.bias = jnp.zeros((out_channels,)) if bias else jnp.zeros((out_channels,))
+        self.bias = jnp.zeros((out_channels,))
 
     def __call__(self, x, offset):
         B, _, Ho, Wo = offset.shape

@@ -59,7 +59,8 @@ def cycle_fc(p, x, kernel_size):
             continue
         delta = int((r + start) % K - K // 2)
         wr = jnp.where(jnp.asarray(mask)[None, :], w, 0.0)
-        out = out + jnp.matmul(_shift_zero(x, axis, delta), wr.T)
+        out = out + jnp.matmul(_shift_zero(x, axis, delta), wr.T,
+                               precision=nnf._prec())
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"]
     return out
@@ -148,7 +149,8 @@ def deform_conv2d(x, offset, weight, bias=None, stride=(1, 1), padding=(0, 0),
     wg = Cin // Cin_g
     wmat = weight.reshape(wg, Cout // wg, Cin_g * kh * kw)
     colg = col.reshape(B, Ho, Wo, wg, Cin_g * kh * kw)
-    out = jnp.einsum("bhwgc,goc->bhwgo", colg, wmat).reshape(B, Ho, Wo, Cout)
+    out = jnp.einsum("bhwgc,goc->bhwgo", colg, wmat,
+                     precision=nnf._prec()).reshape(B, Ho, Wo, Cout)
     if bias is not None:
         out = out + bias
     return out
@@ -159,7 +161,7 @@ def atm_op(p, x, offset, dimension):
     axis, then 1x1 matmul (active_mlp.py:65-81)."""
     axis = 1 if dimension == "h" else 2
     y = _linear_sample_1d(x, offset, axis)
-    out = jnp.matmul(y, p["weight"][:, :, 0, 0].T)
+    out = jnp.matmul(y, p["weight"][:, :, 0, 0].T, precision=nnf._prec())
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"]
     return out

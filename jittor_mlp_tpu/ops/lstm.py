@@ -12,18 +12,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.nnf import _prec
+
 
 def _lstm_scan(x, w_ih, w_hh, b, reverse=False):
     """x: (N, T, C) → outputs (N, T, H)."""
     N, T, C = x.shape
     H = w_hh.shape[1]
     # precompute input projections for all steps: (N, T, 4H)
-    xp = jnp.einsum("ntc,gc->ntg", x, w_ih) + b
+    xp = jnp.einsum("ntc,gc->ntg", x, w_ih, precision=_prec()) + b
     xp = jnp.swapaxes(xp, 0, 1)  # (T, N, 4H)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.matmul(h, w_hh.T)
+        gates = xt + jnp.matmul(h, w_hh.T, precision=_prec())
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)

@@ -21,6 +21,32 @@ def cross_entropy_loss(logits, labels):
     return jnp.mean(nll)
 
 
+def _is_trainable(path, leaf):
+    """Trainable = float leaf that is not a buffer or importer-planted aux
+    (running BN stats; '_'-prefixed leaves like _dpr drop-path rates, _step
+    roll steps, _bn_id tags)."""
+    if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+        return False
+    last = path[-1]
+    name = getattr(last, "key", None) or getattr(last, "name", None) or str(last)
+    return not (name.startswith("_") or name in ("running_mean", "running_var"))
+
+
+def split_params(params):
+    """Partition a params tree into (trainable, aux, treedef, n_leaves);
+    both parts are {leaf_index: array} dicts (valid pytrees)."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    train, aux = {}, {}
+    for i, (path, leaf) in enumerate(paths_leaves):
+        (train if _is_trainable(path, leaf) else aux)[i] = leaf
+    return train, aux, treedef, len(paths_leaves)
+
+
+def merge_params(train, aux, treedef, n):
+    leaves = [train[i] if i in train else aux[i] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _leaf_spec(x, model_size, min_dim=512):
     """Shard the largest trailing axis divisible by the model-parallel degree;
     replicate small tensors. Leading stacked-layer axes stay unsharded."""
@@ -61,22 +87,29 @@ def make_train_step(apply_fn, optimizer):
     itself is mesh-agnostic.
     """
 
-    def loss_fn(params, batch, rng):
-        logits = apply_fn(params, batch["image"], train=True, rng=rng)
-        return cross_entropy_loss(logits, batch["label"])
-
     def step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        train, aux, treedef, n = split_params(params)
+
+        def loss_fn(train):
+            full = merge_params(train, aux, treedef, n)
+            logits = apply_fn(full, batch["image"], train=True, rng=rng)
+            return cross_entropy_loss(logits, batch["label"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
+        updates, opt_state = optimizer.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return merge_params(train, aux, treedef, n), opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
 
 
 def init_sharded(params, optimizer, mesh):
-    """Place params/opt_state on the mesh with TP shardings applied."""
+    """Place params/opt_state on the mesh with TP shardings applied.
+
+    The optimizer state covers only the trainable partition (buffers and
+    aux leaves are excluded from differentiation/updates)."""
     shardings = shard_params(params, mesh)
     params = jax.device_put(params, shardings)
-    opt_state = optimizer.init(params)
+    train, _, _, _ = split_params(params)
+    opt_state = optimizer.init(train)
     return params, opt_state, shardings

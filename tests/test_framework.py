@@ -185,3 +185,39 @@ def test_sequence_parallel_mixer_block():
     with mesh:
         got = np.asarray(jax.jit(sp_block)(x, *args))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_excludes_aux_and_buffers():
+    """make_train_step must not differentiate/update BN buffers or aux leaves
+    (HireMLP has int32 _step; AS_MLP has _dpr rates and would get negative
+    drop rates; BN running stats must not be weight-decayed)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jittor_mlp_tpu.parallel.train import make_train_step, split_params
+
+    m = jm.HireMLP(patch_size=4, num_classes=5, d_model=[8], h=[2], w=[2],
+                   cross_region_step=[1], depth=[2], expansion_factor=2)
+    opt = optax.adamw(1e-2)
+    train, _, _, _ = split_params(m.params)
+    opt_state = opt.init(train)
+    step = make_train_step(m.apply, opt)
+    batch = {"image": jnp.ones((4, 3, 16, 16)), "label": jnp.zeros(4, jnp.int32)}
+    step_before = np.asarray(m.params["stages"][0]["blocks"]["_step"]).copy()
+    params, opt_state, loss = step(m.params, opt_state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # aux leaves untouched (snapshot before: donate_argnums consumes inputs)
+    np.testing.assert_array_equal(
+        np.asarray(params["stages"][0]["blocks"]["_step"]), step_before
+    )
+
+    m2 = jm.ConvMixer(dim=8, depth=2, kernel_size=3, patch_size=4, n_classes=5)
+    train2, _, _, _ = split_params(m2.params)
+    opt_state2 = opt.init(train2)
+    step2 = make_train_step(m2.apply, opt)
+    rv_before = np.asarray(m2.params["embedding"]["2"]["running_var"]).copy()
+    p2, _, _ = step2(m2.params, opt_state2, batch, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(p2["embedding"]["2"]["running_var"]), rv_before
+    )
