@@ -221,3 +221,58 @@ def test_train_step_excludes_aux_and_buffers():
     np.testing.assert_array_equal(
         np.asarray(p2["embedding"]["2"]["running_var"]), rv_before
     )
+
+
+def test_params_save_load_roundtrip(tmp_path):
+    from jittor_mlp_tpu.utils.serialization import load_params, save_params
+
+    m = jm.gMLPForImageClassification(image_size=16, patch_size=8, d_model=16,
+                                      d_ffn=32, depth=2, num_classes=4)
+    x = np.random.default_rng(0).standard_normal((2, 3, 16, 16)).astype("float32")
+    want = np.asarray(m(x))
+    p = str(tmp_path / "ckpt.npz")
+    save_params(m, p)
+    m2 = jm.gMLPForImageClassification(image_size=16, patch_size=8, d_model=16,
+                                       d_ffn=32, depth=2, num_classes=4, seed=7)
+    load_params(m2, p)
+    np.testing.assert_allclose(np.asarray(m2(x)), want, rtol=1e-6)
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from jittor_mlp_tpu.parallel.train import make_train_step, split_params
+    from jittor_mlp_tpu.utils.serialization import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    m = jm.MLPMixerForImageClassification(
+        d_model=16, depth=2, patch_size=8, image_size=16, num_classes=4
+    )
+    opt = optax.adam(1e-2)
+    train, _, _, _ = split_params(m.params)
+    state = opt.init(train)
+    step = make_train_step(m.apply, opt)
+    batch = {"image": jnp.ones((4, 3, 16, 16)), "label": jnp.zeros(4, jnp.int32)}
+    params = m.params
+    for i in range(3):
+        params, state, _ = step(params, state, batch, jax.random.PRNGKey(i))
+
+    path = str(tmp_path / "state")
+    save_train_state(path, params, state, 3)
+
+    # resume in "another process": fresh model + optimizer as templates
+    m2 = jm.MLPMixerForImageClassification(
+        d_model=16, depth=2, patch_size=8, image_size=16, num_classes=4, seed=9
+    )
+    t2, _, _, _ = split_params(m2.params)
+    s2 = opt.init(t2)
+    p_r, s_r, step_r = restore_train_state(path, m2.params, s2, 0)
+    assert int(step_r) == 3
+    # continuing from restored state = continuing from original state
+    a1, _, l1 = step(params, state, batch, jax.random.PRNGKey(99))
+    a2, _, l2 = step(p_r, s_r, batch, jax.random.PRNGKey(99))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
