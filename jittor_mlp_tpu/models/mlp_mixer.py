@@ -75,17 +75,20 @@ def MLPMixerForImageClassification(
 
         if (
             use_pallas
-            and not train
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
         ):
-            from ..ops.pallas import fused_mixer_block
+            # train mode uses the custom-VJP variant (Pallas forward, XLA
+            # backward); the mixer has no dropout so train == eval math
+            from ..ops.pallas.mixer_block import (
+                fused_mixer_block,
+                fused_mixer_block_trainable,
+            )
 
             def fblock(bp, h):
                 t, c = bp["0"], bp["1"]
-                return fused_mixer_block(
-                    h,
+                w = (
                     t["norm"]["weight"], t["norm"]["bias"],
                     t["fn"]["net"]["0"]["weight"][:, :, 0],
                     t["fn"]["net"]["0"]["bias"],
@@ -94,8 +97,10 @@ def MLPMixerForImageClassification(
                     c["norm"]["weight"], c["norm"]["bias"],
                     c["fn"]["net"]["0"]["weight"], c["fn"]["net"]["0"]["bias"],
                     c["fn"]["net"]["3"]["weight"], c["fn"]["net"]["3"]["bias"],
-                    bt=2,
                 )
+                if train:
+                    return fused_mixer_block_trainable(2, h, *w)
+                return fused_mixer_block(h, *w, bt=2)
 
             x = nnf.scan_blocks(fblock, params["blocks"], x)
             x = nnf.layer_norm(params["active"], x)

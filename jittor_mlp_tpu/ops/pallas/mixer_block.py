@@ -89,6 +89,48 @@ def _kernel(
     ).astype(dtype)
 
 
+def _plain_block(x, ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1,
+                 wc2, bc2):
+    """jnp reference of the same math; used as the VJP of the fused kernel."""
+    def ln(x, w, b, eps=1e-5):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        return ((y * w + b)).astype(x.dtype)
+
+    y = jnp.einsum("oi,bid->bod", wt1, ln(x, ln1w, ln1b)) + bt1[None, :, None]
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    h = x + jnp.einsum("oi,bid->bod", wt2, y) + bt2[None, :, None]
+    c = jnp.matmul(ln(h, ln2w, ln2b), wc1.T) + bc1
+    c = jax.nn.gelu(c.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return h + jnp.matmul(c, wc2.T) + bc2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_mixer_block_trainable(bt, x, ln1w, ln1b, wt1, bt1, wt2, bt2,
+                                ln2w, ln2b, wc1, bc1, wc2, bc2):
+    """Differentiable fused block: Pallas forward, XLA backward (the VJP of
+    the identical jnp formulation — same math, standard-precision grads).
+    ``bt`` (batch tile) is the leading static arg."""
+    return fused_mixer_block(x, ln1w, ln1b, wt1, bt1, wt2, bt2,
+                             ln2w, ln2b, wc1, bc1, wc2, bc2, bt=bt)
+
+
+def _ftrain_fwd(bt, x, *w):
+    out = fused_mixer_block(x, *w, bt=bt)
+    return out, (x, w)
+
+
+def _ftrain_bwd(bt, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, *w: _plain_block(x, *w), x, *w)
+    return vjp(g)
+
+
+fused_mixer_block_trainable.defvjp(_ftrain_fwd, _ftrain_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("bt",))
 def fused_mixer_block(x, ln1w, ln1b, wt1, bt1, wt2, bt2,
                       ln2w, ln2b, wc1, bc1, wc2, bc2, bt=4):

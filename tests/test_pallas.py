@@ -73,3 +73,45 @@ def test_axial_shift_pallas_matches_xla_and_vjp():
         np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-6)
     finally:
         pl.pallas_call = orig
+
+
+def test_fused_block_trainable_grads_match_plain():
+    """Custom-VJP fused block: forward = Pallas kernel (interpret here),
+    backward = VJP of the identical jnp math."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.mixer_block as mb
+
+    B, N, D, TD, CD = 4, 20, 32, 24, 64
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(TD, N), rn(TD), rn(N, TD), rn(N), rn(D), rn(D),
+            rn(CD, D), rn(CD), rn(D, CD), rn(D))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(x, *w):
+            return (mb.fused_mixer_block_trainable(2, x, *w) ** 2).sum()
+
+        def loss_plain(x, *w):
+            return (mb._plain_block(x, *w) ** 2).sum()
+
+        lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1, 3))(x, *args)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 1, 3))(x, *args)
+        np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-6)
+    finally:
+        pl.pallas_call = orig
