@@ -35,16 +35,44 @@ def gMLPForImageClassification(
     d_model=256,
     d_ffn=1536,
     depth=30,
+    use_pallas=True,
     seed=0,
 ):
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
 
     def apply(params, x, train=False, rng=None):
+        import jax
+
         x = jnp.transpose(x, (0, 2, 3, 1))
         x = nnf.patch_embed(params["patcher"], x, ph)
         B = x.shape[0]
         x = x.reshape(B, num_patches, d_model)
+
+        if (
+            use_pallas
+            and not train
+            and x.dtype == jnp.bfloat16
+            and B % 2 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.pallas.gmlp_block import fused_gmlp_block
+
+            def fblock(bp, h):
+                return fused_gmlp_block(
+                    h,
+                    bp["norm"]["weight"], bp["norm"]["bias"],
+                    bp["channel_proj1"]["weight"], bp["channel_proj1"]["bias"],
+                    bp["sgu"]["norm"]["weight"], bp["sgu"]["norm"]["bias"],
+                    bp["sgu"]["spatial_proj"]["weight"][:, :, 0],
+                    bp["sgu"]["spatial_proj"]["bias"],
+                    bp["channel_proj2"]["weight"], bp["channel_proj2"]["bias"],
+                    bt=2,
+                )
+
+            x = nnf.scan_blocks(fblock, params["blocks"], x)
+            x = nnf.global_avg_pool_tokens(x)
+            return nnf.linear(params["head"], x)
 
         def block(bp, h):
             y = nnf.layer_norm(bp["norm"], h)

@@ -115,3 +115,44 @@ def test_fused_block_trainable_grads_match_plain():
                                        atol=1e-6)
     finally:
         pl.pallas_call = orig
+
+
+def test_fused_gmlp_block_matches_plain():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.gmlp_block as gb
+
+    B, N, D, F = 4, 20, 32, 48
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(2 * F, D), rn(2 * F), rn(F), rn(F), rn(N, N),
+            rn(N), rn(D, F), rn(D))
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = np.asarray(gb.fused_gmlp_block(x, *args, bt=2))
+    finally:
+        pl.pallas_call = orig
+    ln1w, ln1b, w1, b1, sw, sb, wsp, bs, w2, b2 = args
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return ((x - mu) * lax.rsqrt(var + 1e-5)) * w + b
+
+    y = jax.nn.gelu(ln(x, ln1w, ln1b) @ w1.T + b1, approximate=False)
+    u, v = y[..., :F], y[..., F:]
+    v2 = jnp.einsum("oi,bif->bof", wsp, ln(v, sw, sb)) + bs[None, :, None]
+    want = np.asarray(x + (u * v2) @ w2.T + b2)
+    assert np.abs(got - want).max() < 1e-5
