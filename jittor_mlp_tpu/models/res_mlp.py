@@ -33,16 +33,48 @@ def ResMLPForImageClassification(
     image_size=224,
     depth=12,
     expansion_factor=4,
+    use_pallas=True,
     seed=0,
 ):
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
 
     def apply(params, x, train=False, rng=None):
+        import jax
+
         x = jnp.transpose(x, (0, 2, 3, 1))
         x = nnf.patch_embed(params["patcher"], x, ph)
         B = x.shape[0]
         x = x.reshape(B, num_patches, d_model)
+
+        if (
+            use_pallas
+            and not train
+            and x.dtype == jnp.bfloat16
+            and B % 2 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.pallas.resmlp_block import fused_resmlp_block
+
+            def fblock(bp, h):
+                return fused_resmlp_block(
+                    h,
+                    bp["pre_affine"]["alpha"].reshape(-1),
+                    bp["pre_affine"]["beta"].reshape(-1),
+                    bp["gamma_1"],
+                    bp["token_mix"]["weight"][:, :, 0],
+                    bp["token_mix"]["bias"],
+                    bp["post_affine"]["alpha"].reshape(-1),
+                    bp["post_affine"]["beta"].reshape(-1),
+                    bp["gamma_2"],
+                    bp["ff"]["net"]["0"]["weight"], bp["ff"]["net"]["0"]["bias"],
+                    bp["ff"]["net"]["3"]["weight"], bp["ff"]["net"]["3"]["bias"],
+                    bt=2,
+                )
+
+            x = nnf.scan_blocks(fblock, params["blocks"], x)
+            x = nnf.global_avg_pool_tokens(x)
+            return nnf.linear(params["head"], x)
 
         def block(bp, h):
             h = nnf.affine(bp["pre_affine"], h)

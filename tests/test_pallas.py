@@ -156,3 +156,38 @@ def test_fused_gmlp_block_matches_plain():
     v2 = jnp.einsum("oi,bif->bof", wsp, ln(v, sw, sb)) + bs[None, :, None]
     want = np.asarray(x + (u * v2) @ w2.T + b2)
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_fused_resmlp_block_matches_plain():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.resmlp_block as rb
+
+    B, N, D, F = 4, 20, 32, 64
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(D), rn(N, N), rn(N), rn(D), rn(D), rn(D),
+            rn(F, D), rn(F), rn(D, F), rn(D))
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        got = np.asarray(rb.fused_resmlp_block(x, *args, bt=2))
+    finally:
+        pl.pallas_call = orig
+    a1, b1, g1, wt, btk, a2, b2, g2, w1, c1, w2, c2 = args
+    h = x * a1 + b1
+    h = h + g1 * (jnp.einsum("oi,bif->bof", wt, h) + btk[None, :, None])
+    h = h * a2 + b2
+    f = jax.nn.gelu(h @ w1.T + c1, approximate=False) @ w2.T + c2
+    want = np.asarray(h + g2 * f)
+    assert np.abs(got - want).max() < 1e-5
