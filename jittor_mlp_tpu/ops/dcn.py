@@ -262,3 +262,69 @@ class DCNv2Pooling:
             self.sample_per_part, self.trans_std,
         )
         return out
+
+
+class DCNPooling(DCNv2Pooling):
+    """dcn_v2.py:1423-1482: deformable PSROI pooling that predicts its own
+    trans offsets + modulation mask from a first no-trans pooling pass."""
+
+    def __init__(self, spatial_scale, pooled_size, output_dim, no_trans,
+                 group_size=1, part_size=None, sample_per_part=4,
+                 trans_std=0.0, deform_fc_dim=1024, seed=0):
+        super().__init__(spatial_scale, pooled_size, output_dim, no_trans,
+                         group_size, part_size, sample_per_part, trans_std)
+        self.deform_fc_dim = deform_fc_dim
+        if not no_trans:
+            rng = np.random.default_rng(seed)
+            in_dim = pooled_size * pooled_size * output_dim
+
+            def lin(i, o, zero=False):
+                if zero:
+                    return {"weight": jnp.zeros((o, i)), "bias": jnp.zeros((o,))}
+                bound = 1.0 / math.sqrt(i)
+                return {
+                    "weight": jnp.asarray(
+                        rng.uniform(-bound, bound, (o, i)), jnp.float32
+                    ),
+                    "bias": jnp.asarray(
+                        rng.uniform(-bound, bound, (o,)), jnp.float32
+                    ),
+                }
+
+            self.offset_mask_fc = [
+                lin(in_dim, deform_fc_dim),
+                lin(deform_fc_dim, deform_fc_dim),
+                lin(deform_fc_dim, pooled_size * pooled_size * 3, zero=True),
+            ]
+
+    def __call__(self, input, rois):
+        from ..core import nnf
+
+        P = self.pooled_size
+        n = rois.shape[0]
+        zeros = jnp.zeros((n, 2, self.part_size, self.part_size))
+        if self.no_trans:
+            out, _ = dcn_v2_pooling(
+                input, rois, zeros, self.spatial_scale, P, self.output_dim,
+                True, self.group_size, self.part_size, self.sample_per_part,
+                self.trans_std,
+            )
+            return out
+        roi, _ = dcn_v2_pooling(
+            input, rois, zeros, self.spatial_scale, P, self.output_dim,
+            True, self.group_size, self.part_size, self.sample_per_part,
+            self.trans_std,
+        )
+        h = roi.reshape(n, -1)
+        h = jax.nn.relu(nnf.linear(self.offset_mask_fc[0], h))
+        h = jax.nn.relu(nnf.linear(self.offset_mask_fc[1], h))
+        om = nnf.linear(self.offset_mask_fc[2], h).reshape(n, 3, P, P)
+        o1, o2, mask = om[:, 0:1], om[:, 1:2], om[:, 2:3]
+        offset = jnp.concatenate([o1, o2], axis=1)
+        mask = jax.nn.sigmoid(mask)
+        out, _ = dcn_v2_pooling(
+            input, rois, offset, self.spatial_scale, P, self.output_dim,
+            False, self.group_size, self.part_size, self.sample_per_part,
+            self.trans_std,
+        )
+        return out * mask

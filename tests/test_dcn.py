@@ -87,3 +87,21 @@ def test_deform_conv2d_jt_shim():
     out = dcn.deform_conv2d_jt(x, off, w)
     assert out.shape == (1, 4, 6, 6)
     np.testing.assert_allclose(np.asarray(out), 4 * 0.25, rtol=1e-5)
+
+
+def test_dcn_pooling_with_learned_offsets():
+    """DCNPooling (dcn_v2.py:1423-1482): self-predicted trans + mask."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16)), jnp.float32)
+    rois = jnp.asarray([[0, 1, 1, 10, 10], [0, 4, 4, 12, 12]], jnp.float32)
+    pool = dcn.DCNPooling(spatial_scale=1.0, pooled_size=2, output_dim=8,
+                          no_trans=False, group_size=2, trans_std=0.1)
+    out = pool(x, rois)
+    assert out.shape == (2, 8, 2, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # zero-init final fc -> offsets 0 and mask sigmoid(0)=0.5: equals the
+    # no-trans pooling scaled by 0.5
+    base = dcn.DCNv2Pooling(spatial_scale=1.0, pooled_size=2, output_dim=8,
+                            no_trans=True, group_size=2)(x, rois)
+    np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(base),
+                               rtol=1e-5)
