@@ -75,6 +75,7 @@ CONFIGS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mlp_mixer")
+    ap.add_argument("--all", action="store_true", help="run every config")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--image-size", type=int, default=224)
@@ -87,13 +88,18 @@ def main():
         print("\n".join(sorted(CONFIGS)))
         return
 
+    if args.all:
+        import subprocess
+
+        base = [a for a in sys.argv[1:] if a != "--all" and not a.startswith("--model")]
+        for name in sorted(CONFIGS):
+            subprocess.run([sys.executable, __file__, "--model", name, *base])
+        return
+
     import jax
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
-    from jax import lax
 
     import jittor_mlp_tpu as jm
     from jittor_mlp_tpu import config
@@ -135,43 +141,18 @@ def main():
         print(f"parity: max abs {diff.max():.3e}  mean abs {diff.mean():.3e}  "
               f"max rel {rel.max():.3e}  [{status}]  (torch cpu fwd {t_ref*1e3:.0f} ms)")
 
-    # throughput: ITERS forwards in one dispatch, scalar-fetch sync
+    # throughput: shared scalar-fetch protocol (utils/timing.py)
+    from jittor_mlp_tpu.utils.timing import throughput
+
     ours.to_bf16()
-    params, apply = ours.params, ours.apply
-    B = args.batch
-
     with config.bf16_mode():
-
-        @jax.jit
-        def run(params, n):
-            x = jax.random.normal(
-                jax.random.PRNGKey(0), (B, 3, args.image_size, args.image_size),
-                jnp.bfloat16,
-            )
-
-            def body(i, carry):
-                acc, x = carry
-                # keep the perturbation bf16: an f32 promotion would upcast
-                # the whole model and disable fused-kernel fast paths
-                xp = x + (acc * 1e-8).astype(jnp.bfloat16)
-                out = apply(params, xp)
-                return acc + out[0, 0].astype(jnp.float32), x
-
-            acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0.0), x))
-            return acc
-
-        def timed(n):
-            t0 = time.perf_counter()
-            np.asarray(run(params, n))
-            return time.perf_counter() - t0
-
-        timed(1)
-        base = min(timed(1) for _ in range(2))
-        total = timed(args.iters)
-    dt = total - base
-    fps = B * (args.iters - 1) / dt
-    print(f"throughput: {fps:,.0f} images/sec (batch {B}, {args.iters} iters, "
-          f"{jax.default_backend()})")
+        fps = throughput(
+            ours.apply, ours.params,
+            (args.batch, 3, args.image_size, args.image_size),
+            iters=args.iters,
+        )
+    print(f"throughput: {fps:,.0f} images/sec (batch {args.batch}, "
+          f"{args.iters} iters, {jax.default_backend()})")
 
 
 if __name__ == "__main__":

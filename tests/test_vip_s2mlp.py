@@ -117,3 +117,14 @@ def test_s2mlpv2_parity():
 def test_s2mlpv1_factories_build():
     m = jm.S2MLPv1_deep(num_classes=10)
     assert m.param_count() > 1e6
+
+
+def test_vip_non_square_image():
+    check_parity(
+        "vip",
+        "ViP",
+        jm.ViP,
+        dict(image_size=(32, 16), patch_size=8, num_classes=10, d_model=32,
+             depth=2, segments=4, expansion_factor=2),
+        input_shape=(2, 3, 32, 16),
+    )
