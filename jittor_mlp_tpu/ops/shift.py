@@ -39,16 +39,17 @@ def _shift_edge(x, axis, direction):
 
 
 def spatial_shift1(x):
-    """S2-MLP 4-way shift (s2_mlp_v1.py:19-25): quarters of channels shift
-    +1/-1 along axis 1 then +1/-1 along axis 2 of NHWC input."""
+    """S2-MLP 4-way shift (s2_mlp_v1.py:19-25): channel group boundaries are
+    the reference's exact c//4, c//2, 3c//4 slices (they differ from equal
+    quarters when c % 4 != 0); groups shift +1/-1 along axis 1 then axis 2."""
     c = x.shape[-1]
-    q = c // 4
+    b1, b2, b3 = c // 4, c // 2, 3 * c // 4
     return jnp.concatenate(
         [
-            _shift_edge(x[..., : q], 1, +1),
-            _shift_edge(x[..., q : 2 * q], 1, -1),
-            _shift_edge(x[..., 2 * q : 3 * q], 2, +1),
-            _shift_edge(x[..., 3 * q :], 2, -1),
+            _shift_edge(x[..., :b1], 1, +1),
+            _shift_edge(x[..., b1:b2], 1, -1),
+            _shift_edge(x[..., b2:b3], 2, +1),
+            _shift_edge(x[..., b3:], 2, -1),
         ],
         axis=-1,
     )
@@ -57,13 +58,13 @@ def spatial_shift1(x):
 def spatial_shift2(x):
     """Opposite pattern (s2_mlp_v2.py:23-29): axes swapped vs spatial_shift1."""
     c = x.shape[-1]
-    q = c // 4
+    b1, b2, b3 = c // 4, c // 2, 3 * c // 4
     return jnp.concatenate(
         [
-            _shift_edge(x[..., : q], 2, +1),
-            _shift_edge(x[..., q : 2 * q], 2, -1),
-            _shift_edge(x[..., 2 * q : 3 * q], 1, +1),
-            _shift_edge(x[..., 3 * q :], 1, -1),
+            _shift_edge(x[..., :b1], 2, +1),
+            _shift_edge(x[..., b1:b2], 2, -1),
+            _shift_edge(x[..., b2:b3], 1, +1),
+            _shift_edge(x[..., b3:], 1, -1),
         ],
         axis=-1,
     )

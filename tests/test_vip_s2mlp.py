@@ -128,3 +128,23 @@ def test_vip_non_square_image():
              depth=2, segments=4, expansion_factor=2),
         input_shape=(2, 3, 32, 16),
     )
+
+
+def test_s2mlpv1_odd_channels_parity():
+    """d_model % 4 != 0: the reference's c//4, c//2, 3c//4 boundaries differ
+    from equal quarters — exact grouping must match."""
+    _patch_s2_shifts()
+    check_parity(
+        "s2_mlp_v1",
+        "S2MLPv1",
+        jm.models.s2_mlp_v1.S2MLPv1,
+        dict(
+            image_size=32,
+            patch_size=[4],
+            num_classes=10,
+            d_model=[30],
+            depth=[2],
+            expansion_factor=[2],
+        ),
+        input_shape=(2, 3, 32, 32),
+    )
