@@ -276,3 +276,37 @@ def test_train_state_checkpoint_resume(tmp_path):
     a1, _, l1 = step(params, state, batch, jax.random.PRNGKey(99))
     a2, _, l2 = step(p_r, s_r, batch, jax.random.PRNGKey(99))
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_window_partition_roundtrip():
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu.ops.window import window_partition, window_reverse
+
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(window_reverse(w, 4, 8, 8)),
+                                  np.asarray(x))
+
+
+def test_dcn_registry():
+    from jittor_mlp_tpu.ops.dcn import DCN, HEADS
+
+    assert HEADS.get("DCN") is DCN
+
+
+def test_preprocess_nhwc_layout_and_flops():
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu.data import make_preprocess
+
+    pipe = make_preprocess(image_size=16, layout="NHWC", dtype=jnp.bfloat16)
+    out = pipe(np.zeros((2, 16, 16, 3), np.uint8))
+    assert out.shape == (2, 16, 16, 3) and out.dtype == jnp.bfloat16
+
+    m = jm.MLPMixerForImageClassification(
+        d_model=32, depth=1, patch_size=8, image_size=16, num_classes=4
+    )
+    f = m.flops((1, 3, 16, 16))
+    assert f > 1e4
