@@ -23,10 +23,10 @@ from ..core.model import Model
 from ..ops.deform import atm_op
 
 
-def _atm_layer(bp, x, offset, dim):
+def _atm_layer(bp, x, offset, dim, share=1):
     C = dim
-    w = atm_op(bp["atm_w"], x, offset[..., :C], "w")
-    h = atm_op(bp["atm_h"], x, offset[..., C:], "h")
+    w = atm_op(bp["atm_w"], x, offset[..., :C], "w", share=share)
+    h = atm_op(bp["atm_h"], x, offset[..., C:], "h", share=share)
     c = nnf.linear(bp["atm_c"], x)
     B = x.shape[0]
     a = jnp.mean(w + h + c, axis=(1, 2))
@@ -81,7 +81,7 @@ def ActiveMLP(
                     o = nnf.linear(bp["offset_layer"]["1"], o)
                     offset = jnp.repeat(o, share_dims[i], axis=-1)
                 y = nnf.layer_norm(bp["norm1"], x)
-                y = _atm_layer(bp["atm"], y, offset, dim)
+                y = _atm_layer(bp["atm"], y, offset, dim, share=share_dims[i])
                 x = x + nnf.drop_path(r1, y, dprv, train)
                 y = nnf.layer_norm(bp["norm2"], x)
                 y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))
