@@ -138,12 +138,17 @@ def main():
         diff = np.abs(got - want)
         rel = diff / np.maximum(np.abs(want), 1e-6)
         # the reference's own acceptance metric: mean relative error on
-        # outputs+1 < 1e-3 (compare.py:179-186) — robust to the huge output
-        # scales random-init BN-heavy models produce
-        ref_rel = float(np.mean(np.abs((got + 1) - (want + 1))
+        # outputs+1 < 1e-3 (compare.py:179-186). Only allowed to relax the
+        # strict max-abs/max-rel gate when random-init outputs are at a
+        # degenerate scale (BN-heavy models reach |out| ~ 1e5, where absolute
+        # float error is meaningless) — otherwise a localized corruption
+        # could hide inside a mean.
+        ref_rel = float(np.mean(np.abs(got - want)
                                 / np.maximum(np.abs(want + 1), 1e-6)))
-        status = "OK" if (diff.max() < 1e-4 or rel.max() < 1e-4
-                          or ref_rel < 1e-3) else "FAIL"
+        degenerate_scale = float(np.abs(want).max()) > 100.0
+        ok = (diff.max() < 1e-4 or rel.max() < 1e-4
+              or (degenerate_scale and ref_rel < 1e-3))
+        status = "OK" if ok else "FAIL"
         print(f"parity: max abs {diff.max():.3e}  mean abs {diff.mean():.3e}  "
               f"max rel {rel.max():.3e}  ref-mean-rel {ref_rel:.3e}  "
               f"[{status}]  (torch cpu fwd {t_ref*1e3:.0f} ms)")

@@ -8,8 +8,10 @@ Two tiers (SURVEY §2.3 items 2-5):
    i.e. K plain MXU matmuls. No gather at all.
 
 2. ATMOp (active_mlp.py:37-81): learned float offsets along one axis → 1-D
-   bilinear gather via take_along_axis with zero out-of-range masking
-   (torchvision deform_conv2d's corner-validity semantics), then a 1x1 matmul.
+   bilinear interpolation expressed as a hat-function MXU contraction
+   (_hat_sample_1d; ~140x faster than the equivalent TPU gather), then a 1x1
+   matmul. _linear_sample_1d keeps the gather formulation as the reference
+   oracle for tests.
 """
 
 from __future__ import annotations
@@ -163,26 +165,28 @@ def _hat_sample_1d(x, offset, axis, share=1):
     which is exactly linear interpolation with zero outside — but expressed as
     an MXU contraction instead of a per-element gather (~140x faster on TPU;
     gathers of this shape are pathological). ``share`` exploits ActiveMLP's
-    repeat_interleaved offsets: one hat matrix per group of ``share`` channels.
+    repeat_interleaved offsets: one hat matrix per group of ``share`` channels
+    (offsets must be contiguously repeated, which jnp.repeat guarantees).
+
+    Positions/weights are computed in float32 regardless of x.dtype — adding
+    a bf16 offset to spatial indices ≥32 would quantize positions to
+    0.25-pixel steps. Memory note: wmat is a (B, H, W, C/share, n)
+    intermediate (~n/share × the activation size); fine for this zoo's
+    resolutions, revisit for >56² maps with share=1.
     """
     B, H, W, C = x.shape
     n = x.shape[axis]
     g = C // share
-    off = offset.reshape(B, H, W, g, share)[..., 0]  # (B, H, W, g)
+    off = offset.reshape(B, H, W, g, share)[..., 0].astype(jnp.float32)
     if axis == 1:
-        pos = jnp.arange(n).reshape(1, -1, 1, 1) + off
-        hp = jnp.arange(n, dtype=pos.dtype)
-        wmat = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - hp))
-        xg = x.reshape(B, H, W, g, share)
-        y = jnp.einsum("bhwgj,bjwgs->bhwgs", wmat, xg,
-                       precision=nnf._prec())
+        pos = jnp.arange(n, dtype=jnp.float32).reshape(1, -1, 1, 1) + off
     else:
-        pos = jnp.arange(n).reshape(1, 1, -1, 1) + off
-        hp = jnp.arange(n, dtype=pos.dtype)
-        wmat = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - hp))
-        xg = x.reshape(B, H, W, g, share)
-        y = jnp.einsum("bhwgj,bhjgs->bhwgs", wmat, xg,
-                       precision=nnf._prec())
+        pos = jnp.arange(n, dtype=jnp.float32).reshape(1, 1, -1, 1) + off
+    hp = jnp.arange(n, dtype=jnp.float32)
+    wmat = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - hp)).astype(x.dtype)
+    xg = x.reshape(B, H, W, g, share)
+    eq = "bhwgj,bjwgs->bhwgs" if axis == 1 else "bhwgj,bhjgs->bhwgs"
+    y = jnp.einsum(eq, wmat, xg, precision=nnf._prec())
     return y.reshape(B, H, W, C)
 
 

@@ -105,3 +105,24 @@ def test_dcn_pooling_with_learned_offsets():
                             no_trans=True, group_size=2)(x, rois)
     np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(base),
                                rtol=1e-5)
+
+
+def test_hat_sample_matches_gather_oracle():
+    """_hat_sample_1d (MXU formulation) == _linear_sample_1d (gather oracle)
+    for share groups and offsets spanning the out-of-range boundaries."""
+    from jittor_mlp_tpu.ops.deform import _hat_sample_1d, _linear_sample_1d
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 9, 7, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    for axis in (1, 2):
+        n = x.shape[axis]
+        # offsets from far out-of-range to in-range fractional
+        base = rng.uniform(-n - 1.5, n + 1.5, (B, H, W, C)).astype("float32")
+        for share in (1, 2, 4):
+            off = base.reshape(B, H, W, C // share, share)
+            off = np.repeat(off[..., :1], share, axis=-1).reshape(B, H, W, C)
+            want = np.asarray(_linear_sample_1d(x, jnp.asarray(off), axis))
+            got = np.asarray(_hat_sample_1d(x, jnp.asarray(off), axis, share))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"axis={axis} share={share}")
