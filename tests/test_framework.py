@@ -310,3 +310,47 @@ def test_preprocess_nhwc_layout_and_flops():
     )
     f = m.flops((1, 3, 16, 16))
     assert f > 1e4
+
+
+def test_pipeline_parallel_mixer_blocks():
+    """GPipe-style pipeline over stacked mixer blocks == sequential scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu.core import nnf
+    from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu.parallel.pipeline import (
+        pipeline_blocks,
+        shard_stacked_params,
+    )
+
+    mesh = make_mesh(8, model_parallel=4)  # 4 pipeline stages
+    m = jm.MLPMixerForImageClassification(
+        d_model=32, depth=8, patch_size=8, image_size=16, num_classes=4
+    )
+    blocks = m.params["blocks"]
+
+    def block(bp, h):
+        t, c = bp["0"], bp["1"]
+        y = nnf.layer_norm(t["norm"], h)
+        y = nnf.conv1d_token(t["fn"]["net"]["0"], y)
+        y = nnf.gelu(y)
+        y = nnf.conv1d_token(t["fn"]["net"]["3"], y)
+        h = h + y
+        y = nnf.layer_norm(c["norm"], h)
+        y = nnf.gelu(nnf.linear(c["fn"]["net"]["0"], y))
+        y = nnf.linear(c["fn"]["net"]["3"], y)
+        return h + y
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((6, 2, 4, 32)), jnp.float32
+    )  # (M=6 microbatches, mb=2, N=4 tokens, D=32)
+    want = np.stack(
+        [np.asarray(nnf.scan_blocks(block, blocks, x[i])) for i in range(6)]
+    )
+
+    pipe = pipeline_blocks(mesh, block, axis="model")
+    sharded = jax.device_put(blocks, shard_stacked_params(blocks, mesh))
+    with mesh:
+        got = np.asarray(jax.jit(pipe)(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
