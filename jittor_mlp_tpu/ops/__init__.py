@@ -1,3 +1,3 @@
-from . import shift
+from . import dcn, deform, lstm, shift, window
 
-__all__ = ["shift"]
+__all__ = ["dcn", "deform", "lstm", "shift", "window"]
