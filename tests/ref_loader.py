@@ -307,3 +307,32 @@ def ref_model(module_name, class_name, *args, seed=0, **kwargs):
                 p.normal_(0, 0.02)
     m.eval()
     return m
+
+
+def recalibrate_ref_bn(model, image_size=224, batches=2, batch=4, seed=123):
+    """Replace untrained BatchNorm running stats with calibrated batch stats.
+
+    At random init every torch BN has running_mean=0 / running_var=1, which
+    never matches the actual activation statistics, so in eval mode BN fails
+    to normalize and activation scale cascades multiplicatively through deep
+    BN stacks (|out| ~ 1e5 for MorphMLP-T at 224²) — absolute forward error
+    then says nothing. Cumulative-average the true stats over a few batches
+    (momentum=None is torch's exact running average) so the ≤1e-4 strict
+    parity gate is measurable at full size. Returns True if the model had any
+    BN to recalibrate. Import the state_dict into the JAX model AFTER calling
+    this."""
+    from torch.nn.modules.batchnorm import _BatchNorm
+
+    bns = [m for m in model.modules() if isinstance(m, _BatchNorm)]
+    if not bns:
+        return False
+    for m in bns:
+        m.reset_running_stats()
+        m.momentum = None
+    torch.manual_seed(seed)
+    model.train()
+    with torch.no_grad():
+        for _ in range(batches):
+            model(torch.randn(batch, 3, image_size, image_size))
+    model.eval()
+    return True
