@@ -162,14 +162,14 @@ def _convmlp(arch, pretrained, progress, classifier_head, depth, d_model,
         **kwargs,
     )
     if pretrained:
-        from torch.hub import load_state_dict_from_url
+        from ..utils.checkpoint import load_pretrained
 
         urls = {
             "convmlp_s": "http://ix.cs.uoregon.edu/~alih/conv-mlp/checkpoints/convmlp_s_imagenet.pth",
             "convmlp_m": "http://ix.cs.uoregon.edu/~alih/conv-mlp/checkpoints/convmlp_m_imagenet.pth",
             "convmlp_l": "http://ix.cs.uoregon.edu/~alih/conv-mlp/checkpoints/convmlp_l_imagenet.pth",
         }
-        sd = load_state_dict_from_url(urls[arch], progress=progress)
+        sd = load_pretrained(f"{arch}_imagenet.pth", urls[arch])
         model.load_torch_state_dict(sd)
     return model
 

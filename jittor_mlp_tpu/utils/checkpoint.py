@@ -31,6 +31,26 @@ def load_torch_checkpoint(path_or_url, map_location="cpu"):
     return sd
 
 
+def load_pretrained(filename, url, map_location="cpu"):
+    """Resolve a published checkpoint: local cache dir first, then URL.
+
+    Production TPU pods are typically air-gapped (no egress); pre-stage the
+    published .pth files in a directory and point JITTOR_MLP_TPU_CKPT_DIR at
+    it — the file is then served from disk and the URL is never touched.
+    Mirrors the reference's load_state_dict_from_url usage
+    (/root/reference/models_pytorch/conv_mlp.py:278-285) with the offline
+    path the reference lacks.
+    """
+    import os
+
+    cache_dir = os.environ.get("JITTOR_MLP_TPU_CKPT_DIR")
+    if cache_dir:
+        path = os.path.join(cache_dir, filename)
+        if os.path.exists(path):
+            return load_torch_checkpoint(path, map_location)
+    return load_torch_checkpoint(url, map_location)
+
+
 def resize_pos_embed(posemb, n_tokens_new, has_cls_token=True):
     """Bilinear-resize a (1, N, D) position-embedding grid (gfnet.py:391-408)."""
     posemb = jnp.asarray(np.asarray(posemb))
