@@ -31,6 +31,7 @@ class Model:
         self._exporter = exporter
         self._jit_cache = {}
         self.training = False
+        self.mesh = None
 
     # -- torch-compat surface -------------------------------------------------
 
@@ -68,6 +69,24 @@ class Model:
         self._jit_cache.clear()
         return self
 
+    def shard(self, mesh):
+        """Distribute the model over a ('data', 'model') mesh.
+
+        Tensor parallelism: wide FF hidden dimensions shard over 'model',
+        small tensors replicate (heuristic in parallel.train.shard_params —
+        works for every zoo model's params tree). Data parallelism:
+        ``__call__`` shards the input batch over 'data' (batch size must be
+        divisible by the data-axis size). XLA's SPMD partitioner inserts the
+        ICI collectives."""
+        from ..parallel.train import shard_params
+
+        self.params = jax.device_put(
+            self.params, shard_params(self.params, mesh)
+        )
+        self.mesh = mesh
+        self._jit_cache.clear()
+        return self
+
     # -- forward --------------------------------------------------------------
 
     def _jitted(self):
@@ -89,4 +108,13 @@ class Model:
             x = x.detach().cpu().numpy()
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.asarray(x))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            x = jax.device_put(
+                x,
+                NamedSharding(
+                    self.mesh, PartitionSpec("data", *[None] * (x.ndim - 1))
+                ),
+            )
         return self._jitted()(self.params, x, rng)

@@ -57,11 +57,18 @@ def MLPMixerForImageClassification(
     expansion_factor=4,
     token_dim=None,
     use_pallas=True,
+    block_runner=None,
     seed=0,
 ):
     """token_dim: hidden width of the token-mixing FF. Defaults to the
     reference's num_patches*expansion_factor (mlp_mixer.py:37); the paper's
-    Mixer-B/16 uses a fixed 384."""
+    Mixer-B/16 uses a fixed 384.
+
+    block_runner: optional fn(block_fn, stacked_params, x) replacing the
+    default nnf.scan_blocks over the stacked blocks — the hook by which
+    parallel.pipeline.pipeline_runner (GPipe stages over 'model') and
+    parallel.sequence.token_parallel_mixer_runner (tokens sharded over
+    'model') run this model distributed. Overrides the Pallas path."""
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
     if token_dim is None:
@@ -72,6 +79,25 @@ def MLPMixerForImageClassification(
         x = nnf.patch_embed(params["patcher"], x, ph)
         B = x.shape[0]
         x = x.reshape(B, num_patches, d_model)
+
+        def block(bp, h):
+            t, c = bp["0"], bp["1"]
+            y = nnf.layer_norm(t["norm"], h)
+            y = nnf.conv1d_token(t["fn"]["net"]["0"], y)
+            y = nnf.gelu(y)
+            y = nnf.conv1d_token(t["fn"]["net"]["3"], y)
+            h = h + y
+            y = nnf.layer_norm(c["norm"], h)
+            y = nnf.linear(c["fn"]["net"]["0"], y)
+            y = nnf.gelu(y)
+            y = nnf.linear(c["fn"]["net"]["3"], y)
+            return h + y
+
+        if block_runner is not None:
+            x = block_runner(block, params["blocks"], x)
+            x = nnf.layer_norm(params["active"], x)
+            x = nnf.global_avg_pool_tokens(x)
+            return nnf.linear(params["head"], x)
 
         if (
             use_pallas
@@ -106,19 +132,6 @@ def MLPMixerForImageClassification(
             x = nnf.layer_norm(params["active"], x)
             x = nnf.global_avg_pool_tokens(x)
             return nnf.linear(params["head"], x)
-
-        def block(bp, h):
-            t, c = bp["0"], bp["1"]
-            y = nnf.layer_norm(t["norm"], h)
-            y = nnf.conv1d_token(t["fn"]["net"]["0"], y)
-            y = nnf.gelu(y)
-            y = nnf.conv1d_token(t["fn"]["net"]["3"], y)
-            h = h + y
-            y = nnf.layer_norm(c["norm"], h)
-            y = nnf.linear(c["fn"]["net"]["0"], y)
-            y = nnf.gelu(y)
-            y = nnf.linear(c["fn"]["net"]["3"], y)
-            return h + y
 
         x = nnf.scan_blocks(block, params["blocks"], x)
         x = nnf.layer_norm(params["active"], x)

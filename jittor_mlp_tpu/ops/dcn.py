@@ -22,6 +22,13 @@ import jax.numpy as jnp
 from .deform import deform_conv2d as _deform_conv2d_nhwc
 
 
+def _np(t):
+    """torch tensor or array-like → numpy."""
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
 class Registry:
     """Minimal name->class registry (dcn_v2.py:12-34)."""
 
@@ -186,6 +193,17 @@ class DeformConv:
         )
         self.bias = jnp.zeros((out_channels,))
 
+    def load_torch_state_dict(self, state_dict):
+        """Import torch-layout module weights (keys as in the reference's
+        nn.Module wrappers, dcn_v2.py:1241-1482): 'weight', 'bias', plus
+        subclass-specific keys. Makes the DCN surface parity-checkable
+        against reference weights like every zoo model."""
+        sd = {k: _np(v) for k, v in state_dict.items()}
+        self.weight = jnp.asarray(sd["weight"], jnp.float32)
+        if "bias" in sd:
+            self.bias = jnp.asarray(sd["bias"], jnp.float32)
+        return self
+
     def __call__(self, x, offset):
         B, _, Ho, Wo = offset.shape
         mask = jnp.ones((B, offset.shape[1] // 2, Ho, Wo), x.dtype)
@@ -222,6 +240,15 @@ class DCN(DCNv2):
             "weight": jnp.zeros((ch, in_channels, *self.kernel_size)),
             "bias": jnp.zeros((ch,)),
         }
+
+    def load_torch_state_dict(self, state_dict):
+        super().load_torch_state_dict(state_dict)
+        sd = {k: _np(v) for k, v in state_dict.items()}
+        self.conv_offset_mask = {
+            "weight": jnp.asarray(sd["conv_offset_mask.weight"], jnp.float32),
+            "bias": jnp.asarray(sd["conv_offset_mask.bias"], jnp.float32),
+        }
+        return self
 
     def __call__(self, x):
         from ..core import nnf
@@ -296,6 +323,21 @@ class DCNPooling(DCNv2Pooling):
                 lin(deform_fc_dim, deform_fc_dim),
                 lin(deform_fc_dim, pooled_size * pooled_size * 3, zero=True),
             ]
+
+    def load_torch_state_dict(self, state_dict):
+        """Import the reference's nn.Sequential layout: Linear modules sit at
+        indices 0, 2, 4 with ReLUs between (dcn_v2.py:1425-1435)."""
+        sd = {k: _np(v) for k, v in state_dict.items()}
+        self.offset_mask_fc = [
+            {
+                "weight": jnp.asarray(sd[f"offset_mask_fc.{i}.weight"],
+                                      jnp.float32),
+                "bias": jnp.asarray(sd[f"offset_mask_fc.{i}.bias"],
+                                    jnp.float32),
+            }
+            for i in (0, 2, 4)
+        ]
+        return self
 
     def __call__(self, input, rois):
         from ..core import nnf

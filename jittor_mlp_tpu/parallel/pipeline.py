@@ -4,17 +4,20 @@ The zoo's scan-over-stacked-blocks structure makes pipelining natural: shard
 the leading (layer) axis of the stacked params over the 'model' mesh axis so
 each device owns a contiguous stage of depth L/P, then stream M microbatches
 through the stages with ``lax.ppermute`` hops over ICI. The schedule is the
-classic M + P − 1 step pipeline; outputs accumulate on the last stage and are
+classic M + P − 1 step pipeline; bubble steps skip the stage compute with
+``lax.cond`` (no wasted FLOPs); outputs accumulate on the last stage and are
 returned everywhere via psum.
 
-This is a forward pipeline (inference / activation streaming); models here are
-small enough that DP+TP covers training (SURVEY §2.4), so pp exists to
-demonstrate the scaling recipe on real collectives.
+Composes with data parallelism: pass ``data_axis='data'`` and the microbatch
+dimension shards over the data axis while activations hop stages over the
+'model' axis — every collective rides ICI. ``pipeline_runner`` plugs this
+into any scan-over-blocks zoo model (the factories take ``block_runner=``),
+and the resulting apply differentiates through ppermute, so
+``make_train_step`` over a pipelined model is a microbatched pipeline-parallel
+training step. The reference has zero distributed support (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +30,14 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def pipeline_blocks(mesh, block_fn, axis="model"):
+def pipeline_blocks(mesh, block_fn, axis="model", data_axis=None):
     """Build fn(stacked_params, x) running blocks as a P-stage pipeline.
 
     stacked_params: pytree with leading layer axis L (L % P == 0); sharded
     over ``axis`` so stage d holds layers [d·L/P, (d+1)·L/P).
-    x: (M, mb, ...) microbatched input (replicated). Returns (M, mb, ...).
+    x: (M, mb, ...) microbatched input. With ``data_axis`` set, the
+    microbatch dimension (axis 1) additionally shards over that mesh axis
+    (DP×PP). Returns (M, mb, ...).
     """
     n_stages = mesh.shape[axis]
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -56,7 +61,9 @@ def pipeline_blocks(mesh, block_fn, axis="model"):
             mb_in = x[jnp.clip(t, 0, M - 1)]
             h = jnp.where(idx == 0, mb_in, recv)
             active = (t - idx >= 0) & (t - idx < M)
-            y = jnp.where(active, local_stage(h), zero)
+            # bubble steps skip the stage compute entirely (lax.cond is a
+            # real branch here — `active` is a scalar, not vmapped)
+            y = lax.cond(active, local_stage, lambda _: zero, h)
             # last stage records its finished microbatch t-(P-1)
             out_slot = jnp.clip(t - (n_stages - 1), 0, M - 1)
             is_out = active & (idx == n_stages - 1)
@@ -76,13 +83,46 @@ def pipeline_blocks(mesh, block_fn, axis="model"):
         # outputs live on the last stage only; psum broadcasts them
         return lax.psum(jnp.where(idx == n_stages - 1, outs, 0.0), axis)
 
-    return shard_map(
-        staged,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+    def run(stacked_params, x):
+        if data_axis is None:
+            xspec = P()
+        else:
+            xspec = P(None, data_axis, *([None] * (x.ndim - 2)))
+        sm = shard_map(
+            staged,
+            mesh=mesh,
+            in_specs=(P(axis), xspec),
+            out_specs=xspec,
+            check_vma=False,
+        )
+        return sm(stacked_params, x)
+
+    return run
+
+
+def pipeline_runner(mesh, microbatches, axis="model", data_axis=None):
+    """A ``block_runner`` for zoo factories: pipeline the scanned blocks.
+
+    Splits the batch into ``microbatches`` equal microbatches (batch %
+    microbatches == 0), streams them through the stage pipeline, and merges
+    back — a drop-in replacement for nnf.scan_blocks, so e.g.
+
+        runner = pipeline_runner(mesh, microbatches=4, data_axis='data')
+        model = jm.MLPMixerForImageClassification(block_runner=runner)
+
+    runs the real zoo model pipeline-parallel (and, through
+    make_train_step, trains it GPipe-style with microbatched grads).
+    """
+
+    def runner(block_fn, stacked_params, x):
+        B = x.shape[0]
+        assert B % microbatches == 0, (B, microbatches)
+        xmb = x.reshape(microbatches, B // microbatches, *x.shape[1:])
+        pipe = pipeline_blocks(mesh, block_fn, axis=axis, data_axis=data_axis)
+        y = pipe(stacked_params, xmb)
+        return y.reshape(B, *y.shape[2:])
+
+    return runner
 
 
 def shard_stacked_params(params, mesh, axis="model"):
@@ -92,3 +132,17 @@ def shard_stacked_params(params, mesh, axis="model"):
     return jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))), params
     )
+
+
+def pipeline_shardings(params, mesh, blocks_key="blocks", axis="model"):
+    """Model-level placement for a pipelined model: the stacked ``blocks``
+    subtree shards its layer axis over ``axis`` (stage ownership); every
+    other leaf replicates."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    return {
+        k: (shard_stacked_params(v, mesh, axis) if k == blocks_key
+            else jax.tree_util.tree_map(lambda _: rep, v))
+        for k, v in params.items()
+    }

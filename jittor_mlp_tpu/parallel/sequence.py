@@ -79,3 +79,40 @@ def dense_mixer_block(x, ln1w, ln1b, w1, b1, w2, b2, ln2w, ln2b, w3, b3, w4, b4)
     hn = _ln(h, ln2w, ln2b)
     c = nnf.gelu(jnp.matmul(hn, w3.T) + b3)
     return h + jnp.matmul(c, w4.T) + b4
+
+
+def _mixer_block_args(bp):
+    """Map one stacked mixer block's params (models/mlp_mixer.py structure:
+    '0' = PreNormResidual(token Conv1d FF), '1' = PreNormResidual(channel
+    Linear FF)) onto token_parallel_mixer_block's 12 weight args."""
+    t, c = bp["0"], bp["1"]
+    return (
+        t["norm"]["weight"], t["norm"]["bias"],
+        t["fn"]["net"]["0"]["weight"][:, :, 0], t["fn"]["net"]["0"]["bias"],
+        t["fn"]["net"]["3"]["weight"][:, :, 0], t["fn"]["net"]["3"]["bias"],
+        c["norm"]["weight"], c["norm"]["bias"],
+        c["fn"]["net"]["0"]["weight"], c["fn"]["net"]["0"]["bias"],
+        c["fn"]["net"]["3"]["weight"], c["fn"]["net"]["3"]["bias"],
+    )
+
+
+def token_parallel_mixer_runner(mesh, axis="model"):
+    """A ``block_runner`` for MLPMixerForImageClassification: run every
+    scanned block sequence-parallel, tokens sharded over ``axis``.
+
+        runner = token_parallel_mixer_runner(mesh)
+        model = jm.MLPMixerForImageClassification(block_runner=runner)
+
+    Requires num_patches % mesh.shape[axis] == 0. The ``block_fn`` argument
+    is ignored — this runner substitutes the token-sharded block math.
+    """
+    tp_block = token_parallel_mixer_block(mesh, axis)
+
+    def runner(block_fn, stacked_params, x):
+        def body(h, bp):
+            return tp_block(h, *_mixer_block_args(bp)), None
+
+        y, _ = lax.scan(body, x, stacked_params)
+        return y
+
+    return runner

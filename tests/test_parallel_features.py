@@ -1,0 +1,113 @@
+"""SP/PP/DP+TP as first-class features on real zoo models (VERDICT r1 item 6).
+
+Runs on the virtual 8-device CPU mesh from conftest. Everything goes through
+the public surface: Model.shard(mesh) for DP+TP on any model, and the
+``block_runner`` factory hook for pipeline (GPipe stages) and sequence
+(token-sharded) execution of MLP-Mixer — including a pipelined,
+microbatched train step whose loss/updates match the dense step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import jittor_mlp_tpu as jm
+from jittor_mlp_tpu.parallel import (
+    make_mesh,
+    make_train_step,
+    pipeline_runner,
+    pipeline_shardings,
+    token_parallel_mixer_runner,
+)
+
+MIXER_KW = dict(d_model=32, depth=4, patch_size=4, image_size=16,
+                num_classes=8, expansion_factor=2)
+
+
+def _x(b=8):
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((b, 3, 16, 16)).astype(np.float32)
+
+
+def test_model_shard_forward_matches_single_device():
+    # Model.shard applies DP+TP to any zoo model via the public method
+    mesh = make_mesh(8, model_parallel=2)
+    plain = jm.gMLPForImageClassification(
+        image_size=16, patch_size=4, d_model=32, d_ffn=64, depth=2,
+        num_classes=8,
+    )
+    x = _x()
+    want = np.asarray(plain(x))
+    plain.shard(mesh)  # in place: same weights, now DP+TP over the mesh
+    got = np.asarray(plain(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_runner_mixer_forward_matches():
+    mesh = make_mesh(8, model_parallel=4)  # 4 pipeline stages, depth 4
+    dense = jm.MLPMixerForImageClassification(**MIXER_KW)
+    piped = jm.MLPMixerForImageClassification(
+        block_runner=pipeline_runner(mesh, microbatches=2, data_axis="data"),
+        **MIXER_KW,
+    )
+    piped.params = dense.params
+    x = _x()
+    with mesh:
+        got = np.asarray(piped(x))
+    want = np.asarray(dense(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_train_step_matches_dense():
+    import optax
+
+    mesh = make_mesh(8, model_parallel=2)  # 2 stages × 4-way data
+    dense = jm.MLPMixerForImageClassification(**MIXER_KW)
+    piped = jm.MLPMixerForImageClassification(
+        block_runner=pipeline_runner(mesh, microbatches=2, data_axis="data"),
+        **MIXER_KW,
+    )
+    opt = optax.sgd(0.1)
+    batch = {
+        "image": jnp.asarray(_x()),
+        "label": jnp.arange(8, dtype=jnp.int32) % 8,
+    }
+    rng = jax.random.PRNGKey(0)
+
+    from jittor_mlp_tpu.parallel.train import split_params
+
+    # the train step donates params; keep a host-side copy for the 2nd run
+    p0 = jax.tree.map(np.asarray, dense.params)
+    p_dense = jax.tree.map(jnp.asarray, p0)
+    t0, _, _, _ = split_params(p_dense)
+    step_dense = make_train_step(dense.apply, opt)
+    d_params, _, d_loss = step_dense(p_dense, opt.init(t0), batch, rng)
+
+    p_piped = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    t0p, _, _, _ = split_params(p_piped)
+    step_piped = make_train_step(piped.apply, opt)
+    with mesh:
+        p_params, _, p_loss = step_piped(p_piped, opt.init(t0p), batch, rng)
+
+    np.testing.assert_allclose(float(p_loss), float(d_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(d_params), jax.tree.leaves(p_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_token_parallel_runner_mixer_forward_matches():
+    mesh = make_mesh(8, model_parallel=8)  # 16 tokens / 8-way sharding
+    dense = jm.MLPMixerForImageClassification(**MIXER_KW)
+    sp = jm.MLPMixerForImageClassification(
+        block_runner=token_parallel_mixer_runner(mesh),
+        **MIXER_KW,
+    )
+    sp.params = dense.params
+    x = _x()
+    with mesh:
+        got = np.asarray(sp(x))
+    want = np.asarray(dense(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
