@@ -31,8 +31,35 @@ def _prec():
     return config.matmul_precision
 
 
+def _erf_poly(z):
+    """Abramowitz & Stegun 7.1.26 polynomial erf, |error| < 1.5e-7 (f32) —
+    the same formulation the fused Pallas kernels use (ops/pallas/
+    mixer_block._erf)."""
+    s = jnp.sign(z)
+    z = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736
+               + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
 def gelu(x):
-    # torch nn.GELU() / F.gelu default: exact erf variant.
+    """torch nn.GELU() / F.gelu default: exact erf variant.
+
+    For bf16 activations (the throughput path) the erf is the A&S 7.1.26
+    polynomial, accurate to 1.5e-7 — ~30x below bf16 resolution: measured on
+    this TPU toolchain, XLA's exact erf costs 1.55 ms per 100 MB activation
+    pass vs the 0.24 ms bandwidth floor AND blocks epilogue fusion into the
+    producing matmul (matmul+gelu+bn fuses to the cost of the matmul alone
+    with the polynomial). fp32 inputs (parity mode) keep XLA's exact erf."""
+    if x.dtype == jnp.bfloat16:
+        xf = x.astype(jnp.float32)
+        return (0.5 * xf * (1.0 + _erf_poly(xf * 0.7071067811865476))).astype(
+            x.dtype
+        )
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -108,6 +135,21 @@ def conv2d(p, x, stride=1, padding=0, groups=1, dilation=1):
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    w = p["weight"]
+    if (
+        w.shape[2] == w.shape[3] == 1
+        and groups == 1
+        and stride == (1, 1)
+        and padding in (0, (0, 0), "same")
+    ):
+        # 1×1 conv → plain matmul: the MXU path whose elementwise epilogues
+        # (gelu/BN) XLA fuses; convolution HLO is a library call that
+        # materializes its output first (measured: pw-conv+gelu+bn 1.50 ms
+        # vs fused matmul form 0.43 ms at 64×32×32×768 bf16).
+        y = jnp.matmul(x, w[:, :, 0, 0].T.astype(x.dtype), precision=_prec())
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"]
+        return y
     y = lax.conv_general_dilated(
         x,
         p["weight"].astype(x.dtype),
