@@ -1,3 +1,9 @@
+from .dataset import (
+    ArrayDataset,
+    BatchIterator,
+    ImageFolderDataset,
+    make_augment,
+)
 from .preprocess import (
     IMAGENET_MEAN,
     IMAGENET_STD,
@@ -8,6 +14,10 @@ from .preprocess import (
 )
 
 __all__ = [
+    "ArrayDataset",
+    "BatchIterator",
+    "ImageFolderDataset",
+    "make_augment",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "make_preprocess",

@@ -66,3 +66,90 @@ def test_host_loader_end_to_end():
     hl = loader.HostLoader(image_size=224)
     out = hl(imgs)
     assert out.shape == (2, 3, 224, 224) and out.dtype == np.float32
+
+
+def test_image_folder_dataset_and_iterator(tmp_path):
+    from PIL import Image
+
+    from jittor_mlp_tpu.data import BatchIterator, ImageFolderDataset
+
+    rng = np.random.default_rng(5)
+    for ci, cls in enumerate(["cat", "dog"]):
+        d = tmp_path / cls
+        d.mkdir()
+        for j in range(3):
+            arr = rng.integers(0, 256, (40 + 10 * j, 50, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{j}.png")
+
+    ds = ImageFolderDataset(str(tmp_path), decode_size=32)
+    assert len(ds) == 6 and ds.classes == ["cat", "dog"]
+    img, label = ds.get(0)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8 and label == 0
+
+    it = BatchIterator(ds, batch_size=4, seed=1, drop_last=True)
+    batches = list(it)
+    assert len(batches) == 1  # 6 // 4
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["label"].shape == (4,) and b["label"].dtype == np.int32
+    # a fresh epoch reshuffles
+    assert len(list(it)) == 1
+
+
+def test_on_device_augment():
+    import jax
+
+    from jittor_mlp_tpu.data import make_augment
+
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (4, 40, 40, 3), dtype=np.uint8)
+    aug = make_augment(image_size=32)
+    out = np.asarray(aug(jax.random.PRNGKey(0), imgs))
+    assert out.shape == (4, 3, 32, 32) and np.isfinite(out).all()
+    # crops genuinely vary across rng keys
+    out2 = np.asarray(aug(jax.random.PRNGKey(1), imgs))
+    assert np.abs(out - out2).max() > 0
+
+    # every crop is an exact window of the normalized source
+    x = imgs[0].astype(np.float32) / 255.0
+    x = (x - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    got0 = out[0].transpose(1, 2, 0)
+    found = any(
+        np.allclose(got0, win, atol=1e-5) or np.allclose(got0, win[:, ::-1], atol=1e-5)
+        for top in range(9) for left in range(9)
+        for win in [x[top:top + 32, left:left + 32]]
+    )
+    assert found, "augmented image 0 is not a crop/flip of the source"
+
+
+def test_augment_feeds_train_step():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import jittor_mlp_tpu as jm
+    from jittor_mlp_tpu.data import ArrayDataset, BatchIterator, make_augment
+    from jittor_mlp_tpu.parallel.train import make_train_step, split_params
+
+    rng = np.random.default_rng(7)
+    ds = ArrayDataset(
+        rng.integers(0, 256, (8, 20, 20, 3), dtype=np.uint8),
+        rng.integers(0, 4, (8,)),
+    )
+    model = jm.MLPMixerForImageClassification(
+        d_model=16, depth=1, patch_size=4, image_size=16, num_classes=4,
+        use_pallas=False,
+    )
+    opt = optax.sgd(0.1)
+    train, _, _, _ = split_params(model.params)
+    opt_state = opt.init(train)
+    step = make_train_step(model.apply, opt)
+    aug = make_augment(image_size=16)
+    params = model.params
+    key = jax.random.PRNGKey(0)
+    for batch in BatchIterator(ds, batch_size=4, prefetch=1):
+        key, k1, k2 = jax.random.split(key, 3)
+        b = {"image": aug(k1, batch["image"]),
+             "label": jnp.asarray(batch["label"])}
+        params, opt_state, loss = step(params, opt_state, b, k2)
+        assert np.isfinite(float(loss))
