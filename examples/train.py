@@ -7,6 +7,11 @@ periodic eval.
 
   python examples/train.py --model MLPMixerForImageClassification \
       --image-size 64 --batch 64 --steps 50
+
+With --data-dir pointing at an ImageFolder-style tree (class subdirectories
+of images), batches come from data.ImageFolderDataset through the prefetching
+BatchIterator and the jit-compiled on-device augmentation (random crop +
+flip + normalize); otherwise synthetic class-separable data is used.
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--data-dir", default=None,
+                    help="ImageFolder-style dataset root (default: synthetic)")
     args = ap.parse_args()
 
     import jax
@@ -68,21 +75,50 @@ def main():
 
     train_step = make_train_step(model.apply, optimizer)
 
-    # synthetic class-separable data so loss visibly descends
-    rng_np = np.random.default_rng(0)
-    protos = rng_np.standard_normal((args.classes, 3, args.image_size, args.image_size))
-
-    def make_batch(step):
-        labels = rng_np.integers(0, args.classes, args.batch)
-        imgs = protos[labels] + 0.5 * rng_np.standard_normal(
-            (args.batch, 3, args.image_size, args.image_size)
-        )
-        return {
-            "image": jax.device_put(jnp.asarray(imgs, jnp.float32), bsh["image"]),
-            "label": jax.device_put(jnp.asarray(labels), bsh["label"]),
-        }
-
     rng = jax.random.PRNGKey(0)
+
+    if args.data_dir:
+        from jittor_mlp_tpu.data import (
+            BatchIterator,
+            ImageFolderDataset,
+            make_augment,
+        )
+
+        ds = ImageFolderDataset(
+            args.data_dir, decode_size=args.image_size + args.image_size // 8
+        )
+        augment = make_augment(image_size=args.image_size)
+        it = iter(BatchIterator(ds, args.batch))
+
+        def make_batch(step):
+            nonlocal it, rng
+            try:
+                raw = next(it)
+            except StopIteration:
+                it = iter(BatchIterator(ds, args.batch, seed=step))
+                raw = next(it)
+            rng, sub = jax.random.split(rng)
+            return {
+                "image": jax.device_put(augment(sub, raw["image"]), bsh["image"]),
+                "label": jax.device_put(jnp.asarray(raw["label"]), bsh["label"]),
+            }
+    else:
+        # synthetic class-separable data so loss visibly descends
+        rng_np = np.random.default_rng(0)
+        protos = rng_np.standard_normal(
+            (args.classes, 3, args.image_size, args.image_size)
+        )
+
+        def make_batch(step):
+            labels = rng_np.integers(0, args.classes, args.batch)
+            imgs = protos[labels] + 0.5 * rng_np.standard_normal(
+                (args.batch, 3, args.image_size, args.image_size)
+            )
+            return {
+                "image": jax.device_put(jnp.asarray(imgs, jnp.float32), bsh["image"]),
+                "label": jax.device_put(jnp.asarray(labels), bsh["label"]),
+            }
+
     t0 = time.time()
     with mesh:
         for step in range(args.steps):
