@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--data-dir", default=None,
                     help="ImageFolder-style dataset root (default: synthetic)")
+    ap.add_argument("--metrics", default=None,
+                    help="append per-step JSON metrics to this .jsonl file")
     args = ap.parse_args()
 
     import jax
@@ -119,15 +121,31 @@ def main():
                 "label": jax.device_put(jnp.asarray(labels), bsh["label"]),
             }
 
+    logger = None
+    if args.metrics:
+        from jittor_mlp_tpu.utils.metrics import MetricsLogger
+
+        logger = MetricsLogger(
+            args.metrics, extra={"model": args.model, "batch": args.batch}
+        )
+
     t0 = time.time()
+    t_step = time.time()
     with mesh:
         for step in range(args.steps):
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, make_batch(step), sub
             )
+            if logger is not None:
+                now = time.time()
+                logger.log(step, loss=float(loss),
+                           images_per_sec=args.batch / max(now - t_step, 1e-9))
+                t_step = now
             if step % 10 == 0 or step == args.steps - 1:
                 print(f"step {step:4d}  loss {float(loss):.4f}")
+    if logger is not None:
+        logger.flush()
     print(f"{args.steps} steps in {time.time()-t0:.1f}s on {n_dev} device(s)")
 
 

@@ -18,6 +18,7 @@ MLP-style image classifiers plus a cross-framework parity harness
 
 from . import config
 from .core.model import Model
+from .serving import Predictor
 
 # Model factories — same export surface as the reference zoos
 # (/root/reference/models_pytorch/__init__.py:1-22 and models_jittor/__init__.py:1-19).
@@ -52,6 +53,7 @@ from .models.sequencer import Sequencer2D
 
 __all__ = [
     "Model",
+    "Predictor",
     "config",
     "gMLPForImageClassification",
     "ResMLPForImageClassification",

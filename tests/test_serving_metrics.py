@@ -1,0 +1,54 @@
+"""Serving Predictor + metrics logger (framework surfaces the reference lacks)."""
+
+import numpy as np
+
+import jittor_mlp_tpu as jm
+from jittor_mlp_tpu.utils.metrics import MetricsLogger, read_metrics
+
+
+def _tiny_model():
+    return jm.MLPMixerForImageClassification(
+        d_model=16, depth=1, patch_size=8, image_size=32, num_classes=10,
+        use_pallas=False,
+    )
+
+
+def test_predictor_uint8_end_to_end():
+    p = jm.Predictor(_tiny_model(), batch_size=4, image_size=32, top_k=3,
+                     bf16=False).warmup()
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (3, 32, 32, 3), dtype=np.uint8
+    )
+    labels, probs = p.predict(imgs)
+    assert labels.shape == (3, 3) and probs.shape == (3, 3)
+    assert (probs[:, 0] >= probs[:, 1]).all() and (probs >= 0).all()
+    assert (probs.sum(-1) <= 1.0 + 1e-5).all()
+
+    # padding must not change results: full batch vs padded partial agree
+    labels4, _ = p.predict(np.concatenate([imgs, imgs[:1]]))
+    assert (labels4[:3] == labels).all()
+
+
+def test_predictor_resizes_and_rejects_oversize():
+    p = jm.Predictor(_tiny_model(), batch_size=2, image_size=32, bf16=False)
+    imgs = np.zeros((2, 48, 48, 3), np.uint8)  # on-device resize 48->32
+    labels, _ = p.predict(imgs)
+    assert labels.shape == (2, 5)
+    try:
+        p.predict(np.zeros((3, 48, 48, 3), np.uint8))
+        assert False, "oversize request must raise"
+    except ValueError:
+        pass
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, flush_every=2, extra={"model": "t"})
+    log.log(0, loss=1.5, lr=1e-3)
+    log.log(1, loss=1.25, lr=1e-3)  # triggers flush
+    log.log(2, loss=1.0, lr=1e-3)
+    log.flush()
+    cols = read_metrics(path)
+    assert cols["step"] == [0, 1, 2]
+    assert cols["loss"] == [1.5, 1.25, 1.0]
+    assert all(t >= 0 for t in cols["time"])
