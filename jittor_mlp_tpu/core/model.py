@@ -55,10 +55,22 @@ class Model:
 
     def flops(self, input_shape=(1, 3, 224, 224)):
         """Forward-pass FLOPs from XLA's cost analysis (the counterpart of the
-        reference's hand-written .flops() methods, e.g. swin_mlp.py:163-179)."""
-        lowered = jax.jit(lambda p, x: self.apply(p, x)).lower(
-            self.params, jnp.zeros(input_shape, jnp.float32)
-        )
+        reference's hand-written .flops() methods, e.g. swin_mlp.py:163-179).
+
+        Scanned blocks are fully unrolled for the analysis — XLA counts a
+        lax.scan body once regardless of trip count, which undercounted deep
+        models ~depth×. (Inner recurrences like the Sequencer LSTM time scan
+        still count once per step-body; all block-level repetition is exact.)
+        """
+        from . import nnf
+
+        nnf._FULL_UNROLL = True
+        try:
+            lowered = jax.jit(lambda p, x: self.apply(p, x)).lower(
+                self.params, jnp.zeros(input_shape, jnp.float32)
+            )
+        finally:
+            nnf._FULL_UNROLL = False
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

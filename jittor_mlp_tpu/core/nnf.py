@@ -304,6 +304,9 @@ def global_avg_pool_tokens(x):
     return jnp.mean(x, axis=-2)
 
 
+_FULL_UNROLL = False  # set by core.model.Model.flops for exact cost analysis
+
+
 def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     """Run homogeneous residual blocks under lax.scan.
 
@@ -317,6 +320,13 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     repmlpnet.py:252-259): activations recompute in the backward pass.
     """
     fn = jax.checkpoint(block_fn) if remat else block_fn
+
+    if _FULL_UNROLL:
+        # XLA cost analysis counts a scan body ONCE regardless of trip count;
+        # Model.flops() sets this flag so every block materializes in the HLO
+        # and the FLOPs number is the real per-forward cost.
+        depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+        unroll = int(depth)
 
     def body(h, bp):
         local, token = _enter_local_sink()
@@ -360,6 +370,8 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
     """
     depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     fn = jax.checkpoint(block_fn) if remat else block_fn
+    if _FULL_UNROLL:
+        unroll = int(depth)  # see scan_blocks: exact FLOPs accounting
 
     if rng is None:
         def body(h, bp):
