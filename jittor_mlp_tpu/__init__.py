@@ -17,6 +17,7 @@ MLP-style image classifiers plus a cross-framework parity harness
 """
 
 from . import config
+from . import train_recipes
 from .core.model import Model
 from .serving import Predictor
 
@@ -55,6 +56,7 @@ __all__ = [
     "Model",
     "Predictor",
     "config",
+    "train_recipes",
     "gMLPForImageClassification",
     "ResMLPForImageClassification",
     "MLPMixerForImageClassification",

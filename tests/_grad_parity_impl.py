@@ -132,6 +132,33 @@ def main():
         jm.WaveMLP(model_name="XS", num_classes=10),
         (2, 3, 64, 64),
     )
+
+    # deformable model: CycleMLP (cites /root/reference/models_pytorch/
+    # cycle_mlp.py) — pins the masked-matmul CycleFC lowering's backward
+    # against torch autograd through deform_conv2d
+    cyc = dict(layers=[1, 2], embed_dims=[16, 32], transitions=[True, True],
+               mlp_ratios=[2, 2], num_classes=10)
+    check_model(
+        "cycle_mlp",
+        ref_model("cycle_mlp", "CycleNet", **cyc),
+        jm.models.cycle_mlp.CycleNet(**cyc),
+        (2, 3, 32, 32),
+    )
+
+    # recurrent model: Sequencer2D (cites /root/reference/models_pytorch/
+    # sequencer.py) — pins the lax.scan BiLSTM backward against cuDNN-layout
+    # torch LSTM autograd
+    import jittor_mlp_tpu.models.sequencer as jm_seq
+
+    SEQ_XS = [[1, 1], [16, 32], [8, 8], 2]
+    load_ref("sequencer").sequencer_settings["XS"] = SEQ_XS
+    jm_seq.sequencer_settings["XS"] = SEQ_XS
+    check_model(
+        "sequencer",
+        ref_model("sequencer", "Sequencer2D", model_name="XS", num_classes=10),
+        jm.Sequencer2D(model_name="XS", num_classes=10),
+        (2, 3, 28, 28),
+    )
     print("grad parity ok")
 
 
