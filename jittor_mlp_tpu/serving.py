@@ -29,8 +29,20 @@ from .data.preprocess import IMAGENET_MEAN, IMAGENET_STD
 class Predictor:
     def __init__(self, model, batch_size=8, image_size=224, top_k=5,
                  bf16=True, mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                 preprocess=True):
+                 preprocess=True, weights=None):
+        """weights="int8": ship weights to the device as per-channel int8
+        (quarter of the fp32 bytes over the host link) and dequantize on
+        device to the compute dtype — see quant.py for the error bound."""
         self.model = model.eval()
+        if weights == "int8":
+            from .quant import dequantize_tree, quantize_tree
+
+            q = quantize_tree(jax.tree.map(np.asarray, self.model.params))
+            self.model.params = dequantize_tree(
+                q, jnp.bfloat16 if bf16 else jnp.float32
+            )
+        elif weights is not None:
+            raise ValueError(f"unknown weights option {weights!r}")
         if bf16:
             self.model.to_bf16()
         self.batch_size = batch_size
