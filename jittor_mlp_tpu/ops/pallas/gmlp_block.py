@@ -22,19 +22,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mixer_block import _gelu, _ln
+from .mixer_block import _act_for, _ln
 
 
 def _kernel(x_ref, ln1w, ln1b, w1t, b1, sgu_w, sgu_b, wsp, bs, w2t, b2,
             out_ref, *, bt, d_ffn):
     dtype = x_ref.dtype
+    act = _act_for(dtype)
     N = x_ref.shape[1]
     Np = wsp.shape[1]
     D = x_ref.shape[2]
     x = x_ref[:]  # (bt, N, D)
     xn = _ln(x.reshape(bt * N, D), ln1w[:], ln1b[:]).astype(dtype)
     y = jnp.dot(xn, w1t[:], preferred_element_type=jnp.float32)
-    y = _gelu(y + b1[:].astype(jnp.float32)).astype(dtype)  # (bt*N, 2f)
+    y = act(y + b1[:].astype(jnp.float32)).astype(dtype)  # (bt*N, 2f)
     u = y[:, :d_ffn]
     v = y[:, d_ffn:]
     vn = _ln(v, sgu_w[:], sgu_b[:]).astype(dtype).reshape(bt, N, d_ffn)

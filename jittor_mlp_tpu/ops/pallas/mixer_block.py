@@ -44,6 +44,22 @@ def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_tanh(x):
+    """Hendrycks tanh-form GELU (|error vs exact| < 5e-4).
+
+    The TPU VPU has hardware tanh but no erf; the exact-erf polynomial costs
+    an exp. Measured on-chip (tools/kernel_lab.py, Mixer-B/16 stack): exact
+    5262 img/s → tanh 6362 (+21%), while end-to-end bf16 logits move from
+    2.80e-3 to 2.90e-3 max-abs vs the f32 forward — the approximation error
+    is buried an order of magnitude under bf16 rounding noise. Used for bf16
+    kernel inputs only; f32 (parity-tested) keeps exact erf."""
+    return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+
+def _act_for(dtype):
+    return _gelu if dtype == jnp.float32 else _gelu_tanh
+
+
 def _ln(x, w, b, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -64,6 +80,7 @@ def _kernel(
     lane multiple (wt1/wt2 arrive pre-padded, exact semantics); channel mixes
     run once over all bt images stacked (M = bt·N) for MXU efficiency."""
     dtype = x_ref.dtype
+    act = _act_for(dtype)
     N = x_ref.shape[1]
     Np = wt1_ref.shape[1]  # padded token count
     for i in range(bt):
@@ -72,7 +89,7 @@ def _kernel(
         xn = jnp.pad(xn, ((0, Np - N), (0, 0)))
         # token mix: (TD, Np) @ (Np, D) -> (TD, D); back (Np, TD)·... -> (Np, D)
         t = jnp.dot(wt1_ref[:], xn, preferred_element_type=jnp.float32)
-        t = _gelu(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
+        t = act(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
         t2 = jnp.dot(wt2_ref[:], t, preferred_element_type=jnp.float32)[:N]
         h = x.astype(jnp.float32) + t2 + bt2_ref[:].astype(jnp.float32)[:, None]
         h_scr[i] = h.astype(dtype)
@@ -81,7 +98,7 @@ def _kernel(
         h_scr[:].reshape(bt * N, -1), ln2w_ref[:], ln2b_ref[:]
     ).astype(dtype)
     c = jnp.dot(hn, wc1t_ref[:], preferred_element_type=jnp.float32)
-    c = _gelu(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
+    c = act(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
     c2 = jnp.dot(c, wc2t_ref[:], preferred_element_type=jnp.float32)
     c2 = c2 + bc2_ref[:].astype(jnp.float32)
     out_ref[:] = (

@@ -20,12 +20,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mixer_block import _gelu
+from .mixer_block import _act_for
 
 
 def _kernel(x_ref, a1, b1, g1, wt, btk, a2, b2, g2, w1t, c1, w2t, c2,
             out_ref, *, bt):
     dtype = x_ref.dtype
+    act = _act_for(dtype)
     N = x_ref.shape[1]
     Np = wt.shape[1]
     D = x_ref.shape[2]
@@ -42,7 +43,7 @@ def _kernel(x_ref, a1, b1, g1, wt, btk, a2, b2, g2, w1t, c1, w2t, c2,
     h = h * a2[:].astype(jnp.float32) + b2[:].astype(jnp.float32)
     hb = h.astype(dtype).reshape(bt * N, D)
     c = jnp.dot(hb, w1t[:], preferred_element_type=jnp.float32)
-    c = _gelu(c + c1[:].astype(jnp.float32)).astype(dtype)
+    c = act(c + c1[:].astype(jnp.float32)).astype(dtype)
     f = jnp.dot(c, w2t[:], preferred_element_type=jnp.float32)
     f = f + c2[:].astype(jnp.float32)
     out = h + g2[:].astype(jnp.float32) * f.reshape(bt, N, D)

@@ -76,6 +76,64 @@ def _kernel_wide(
     ).astype(dtype)
 
 
+# --- skeleton variants: ablate VPU work to locate the non-MXU time ---------
+def _make_kernel_ablate(use_gelu, use_ln, erf_terms=5):
+    def act(z):
+        if use_gelu == "exact":
+            return _gelu(z)
+        if use_gelu == "fast3":
+            # A&S 7.1.25 3-term erf (|err| < 2.5e-5 — far below bf16 noise)
+            s = jnp.sign(z)
+            a = jnp.abs(z) * 0.7071067811865476
+            t = 1.0 / (1.0 + 0.47047 * a)
+            poly = t * (0.3480242 + t * (-0.0958798 + t * 0.7478556))
+            erf = s * (1.0 - poly * jnp.exp(-a * a))
+            return 0.5 * z * (1.0 + erf)
+        if use_gelu == "tanh":
+            return 0.5 * z * (
+                1.0 + jnp.tanh(0.7978845608 * (z + 0.044715 * z * z * z))
+            )
+        return jnp.maximum(z, 0.0)  # relu skeleton
+
+    def ln(x, w, b):
+        if use_ln:
+            return _ln(x, w, b)
+        return x.astype(jnp.float32)
+
+    def kernel(
+        x_ref,
+        ln1w_ref, ln1b_ref, wt1_ref, bt1_ref, wt2_ref, bt2_ref,
+        ln2w_ref, ln2b_ref, wc1t_ref, bc1_ref, wc2t_ref, bc2_ref,
+        out_ref,
+        h_scr,
+        *, bt,
+    ):
+        dtype = x_ref.dtype
+        n = x_ref.shape[1]
+        np_ = wt1_ref.shape[1]
+        for i in range(bt):
+            x = x_ref[i]
+            xn = ln(x, ln1w_ref[:], ln1b_ref[:]).astype(dtype)
+            xn = jnp.pad(xn, ((0, np_ - n), (0, 0)))
+            t = jnp.dot(wt1_ref[:], xn, preferred_element_type=jnp.float32)
+            t = act(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
+            t2 = jnp.dot(wt2_ref[:], t, preferred_element_type=jnp.float32)[:n]
+            h = x.astype(jnp.float32) + t2 + bt2_ref[:].astype(jnp.float32)[:, None]
+            h_scr[i] = h.astype(dtype)
+        hn = ln(
+            h_scr[:].reshape(bt * n, -1), ln2w_ref[:], ln2b_ref[:]
+        ).astype(dtype)
+        c = jnp.dot(hn, wc1t_ref[:], preferred_element_type=jnp.float32)
+        c = act(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
+        c2 = jnp.dot(c, wc2t_ref[:], preferred_element_type=jnp.float32)
+        c2 = c2 + bc2_ref[:].astype(jnp.float32)
+        out_ref[:] = (
+            h_scr[:].astype(jnp.float32) + c2.reshape(bt, n, -1)
+        ).astype(dtype)
+
+    return kernel
+
+
 # --- variant B: per-image loop but h kept in out_ref (no scratch) ----------
 def _kernel_noscratch(
     x_ref,
@@ -226,6 +284,16 @@ def main():
         "wide4": lambda w, h: _call(_kernel_wide, h, w, 4, True),
         "noscratch2": lambda w, h: _call(_kernel_noscratch, h, w, 2, False),
         "noscratch4": lambda w, h: _call(_kernel_noscratch, h, w, 4, False),
+        "relu_skel": lambda w, h: _call(
+            _make_kernel_ablate("relu", True), h, w, 2, True),
+        "noln_skel": lambda w, h: _call(
+            _make_kernel_ablate("exact", False), h, w, 2, True),
+        "matmul_skel": lambda w, h: _call(
+            _make_kernel_ablate("relu", False), h, w, 2, True),
+        "gelu_fast3": lambda w, h: _call(
+            _make_kernel_ablate("fast3", True), h, w, 2, True),
+        "gelu_tanh": lambda w, h: _call(
+            _make_kernel_ablate("tanh", True), h, w, 2, True),
         "plain_xla": None,
     }
 
