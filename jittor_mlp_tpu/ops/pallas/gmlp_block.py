@@ -10,7 +10,7 @@ One kernel computes a full gMLP block (g_mlp.py:24-39 semantics):
 with the activation tile and all weights VMEM-resident. Channel matmuls batch
 across the image tile; the token projection runs per image with its
 contraction axis zero-padded to lane width (exact — extra columns multiply
-zero-padded rows). Same erf-polynomial GELU as the mixer kernel.
+zero-padded rows). Same dtype-dependent GELU as the mixer kernel.
 """
 
 from __future__ import annotations
