@@ -23,12 +23,14 @@ class Model:
     importer(state_dict_nested) -> params  (defaults to identity structure)
     """
 
-    def __init__(self, name, apply_fn, params, importer=None, exporter=None):
+    def __init__(self, name, apply_fn, params, importer=None, exporter=None,
+                 init_sd=None):
         self.name = name
         self.apply = apply_fn
         self.params = params
         self._importer = importer or (lambda nested: nested)
         self._exporter = exporter
+        self._init_sd = init_sd  # flat torch-name → array template (export)
         self._jit_cache = {}
         self.training = False
         self.mesh = None
@@ -41,6 +43,27 @@ class Model:
         self.params = self._importer(nested)
         self._jit_cache.clear()
         return self
+
+    def export_torch_state_dict(self, tensors=True, strict=True):
+        """Export params as a torch ``state_dict`` — the reverse direction:
+        train/convert here, deploy in torch. The inverse weight map is traced
+        through the importer (core/export.py), so this works for every zoo
+        model without per-model code. Returns torch tensors (or numpy arrays
+        with ``tensors=False``)."""
+        from . import export as _export
+
+        assert self._init_sd is not None, (
+            "model was built without an init_sd template"
+        )
+        sd = _export.export_state_dict(
+            self.params, self._init_sd, self._importer, strict=strict
+        )
+        if tensors:
+            import torch
+
+            sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in sd.items()}
+        return sd
 
     def eval(self):
         self.training = False

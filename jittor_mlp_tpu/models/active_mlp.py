@@ -134,7 +134,8 @@ def ActiveMLP(
     b.layer_norm("norm", embed_dims[-1])
     b.linear("head", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("active_mlp", apply, params, importer=_structure)
+    return Model("active_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)
 
 
 def ActivexTiny(pretrained=False, **kwargs):

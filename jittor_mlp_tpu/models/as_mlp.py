@@ -139,4 +139,5 @@ def AS_MLP(
     b.group_norm("norm", num_features)
     b.linear("head", num_features, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("as_mlp", apply, params, importer=_structure)
+    return Model("as_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

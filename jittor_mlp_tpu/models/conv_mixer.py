@@ -56,4 +56,5 @@ def ConvMixer(dim, depth, kernel_size=9, patch_size=7, n_classes=1000, seed=0):
         b.batch_norm(f"blocks.{i}.3", dim)
     b.linear("classifier.2", dim, n_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("conv_mixer", apply, params, importer=_structure)
+    return Model("conv_mixer", apply, params, importer=_structure,
+                 init_sd=b.sd)

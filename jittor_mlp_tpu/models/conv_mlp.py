@@ -149,7 +149,8 @@ def ConvMLP(
         b.layer_norm("norm", d_model[-1])
         b.linear("head", d_model[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("conv_mlp", apply, params, importer=_structure)
+    return Model("conv_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)
 
 
 def _convmlp(arch, pretrained, progress, classifier_head, depth, d_model,

@@ -138,7 +138,8 @@ def CycleNet(
     b.layer_norm("norm", embed_dims[-1])
     b.linear("head", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("cycle_mlp", apply, params, importer=_structure)
+    return Model("cycle_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)
 
 
 def _factory(layers, mlp_ratios, embed_dims, **kwargs):

@@ -151,4 +151,5 @@ def DynaMixer(model_name="M", image_size=224, in_channels=3, num_classes=1000, s
             b.linear(f"{pre}.1.fn.net.3", d * mlp_ratio, d)
     b.linear("mlp_head.1", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("dyna_mlp", apply, params, importer=_structure)
+    return Model("dyna_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

@@ -98,4 +98,5 @@ def gMLPForImageClassification(
         b.const(f"model.{i}.sgu.spatial_proj.bias", (num_patches,), 1.0)
     b.linear("mlp_head.0", d_model, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("g_mlp", apply, params, importer=_structure)
+    return Model("g_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

@@ -158,7 +158,8 @@ def GFNet(
     else:
         b.linear("head", embed_dim, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("gfnet", apply, params, importer=_structure)
+    return Model("gfnet", apply, params, importer=_structure,
+                 init_sd=b.sd)
 
 
 def GFNetPyramid(
@@ -246,4 +247,5 @@ def GFNetPyramid(
     b.layer_norm("norm", embed_dim[-1])
     b.linear("head", embed_dim[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("gfnet_pyramid", apply, params, importer=_structure)
+    return Model("gfnet_pyramid", apply, params, importer=_structure,
+                 init_sd=b.sd)

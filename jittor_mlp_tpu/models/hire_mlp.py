@@ -185,4 +185,5 @@ def HireMLP(
     b.layer_norm("mlp_head.0", d_model[-1])
     b.linear("mlp_head.2", d_model[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("hire_mlp", apply, params, importer=_structure)
+    return Model("hire_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

@@ -150,4 +150,5 @@ def MLPMixerForImageClassification(
         token_dim=token_dim,
     )
     params = _structure(pytree.nest(sd))
-    return Model("mlp_mixer", apply, params, importer=_structure)
+    return Model("mlp_mixer", apply, params, importer=_structure,
+                 init_sd=sd)

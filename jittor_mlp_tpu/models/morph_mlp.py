@@ -121,7 +121,8 @@ def MorphMLP(model_name="T", pretrained=None, num_classes=1000, seed=0, **kwargs
     b.batch_norm("norm", embed_dims[-1])
     b.linear("head", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    model = Model("morph_mlp", apply, params, importer=_structure)
+    model = Model("morph_mlp", apply, params, importer=_structure,
+                  init_sd=b.sd)
     if pretrained:
         from ..utils.checkpoint import load_torch_checkpoint
 

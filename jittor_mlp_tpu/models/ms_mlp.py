@@ -145,4 +145,5 @@ def MS_MLP(
     b.layer_norm("norm", num_features)
     b.linear("head", num_features, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("ms_mlp", apply, params, importer=_structure)
+    return Model("ms_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

@@ -304,4 +304,5 @@ def RaftMLP(
         num_classes,
     )
     params = _structure(pytree.nest(b.sd))
-    return Model("raft_mlp", apply, params, importer=_structure)
+    return Model("raft_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

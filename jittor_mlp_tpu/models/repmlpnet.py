@@ -189,7 +189,8 @@ def RepMLPNet(
     b.linear("head", channels[-1], num_class)
     params = _structure(pytree.nest(b.sd))
 
-    model = Model("repmlpnet", apply, params, importer=_structure)
+    model = Model("repmlpnet", apply, params, importer=_structure,
+                  init_sd=b.sd)
 
     def locality_injection():
         model.params = inject_locality(

@@ -115,4 +115,5 @@ def ResMLPForImageClassification(
     b.zeros("affine.beta", (1, 1, d_model))
     b.linear("mlp_head.0", d_model, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("res_mlp", apply, params, importer=_structure)
+    return Model("res_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

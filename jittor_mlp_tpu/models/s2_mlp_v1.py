@@ -77,7 +77,8 @@ def S2MLPv1(
             b.linear(f"{pre}.1.fn.3", d * expansion_factor[si], d)
     b.linear("mlp_head.1", d_model[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("s2_mlp_v1", apply, params, importer=_structure)
+    return Model("s2_mlp_v1", apply, params, importer=_structure,
+                 init_sd=b.sd)
 
 
 def S2MLPv1_deep(num_classes: int = 1000, **kwargs):

@@ -83,4 +83,5 @@ def S2MLPv2(
             b.linear(f"{pre}.1.fn.3", d * expansion_factor[si], d)
     b.linear("mlp_head.1", d_model[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("s2_mlp_v2", apply, params, importer=_structure)
+    return Model("s2_mlp_v2", apply, params, importer=_structure,
+                 init_sd=b.sd)

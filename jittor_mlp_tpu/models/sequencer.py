@@ -85,7 +85,8 @@ def Sequencer2D(model_name="M", pretrained=None, num_classes=1000, in_channels=3
             b.linear(f"{pre}.1.fn.3", d * expansion_factor, d)
     b.linear("mlp_head.1", embed_dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    model = Model("sequencer", apply, params, importer=_structure)
+    model = Model("sequencer", apply, params, importer=_structure,
+                  init_sd=b.sd)
     if pretrained:
         from ..utils.checkpoint import load_torch_checkpoint
 

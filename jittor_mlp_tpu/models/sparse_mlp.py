@@ -128,4 +128,5 @@ def SparseMLP(
     b.layer_norm("mlp_head.1", dims[-1])
     b.linear("mlp_head.3", dims[-1], num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("sparse_mlp", apply, params, importer=_structure)
+    return Model("sparse_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

@@ -187,4 +187,5 @@ def SwinMLP(
     b.layer_norm("norm", num_features)
     b.linear("head", num_features, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("swin_mlp", apply, params, importer=_structure)
+    return Model("swin_mlp", apply, params, importer=_structure,
+                 init_sd=b.sd)

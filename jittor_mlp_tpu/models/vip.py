@@ -123,4 +123,5 @@ def ViP(
     b.layer_norm("mlp_head.0", d_model)
     b.linear("mlp_head.2", d_model, num_classes)
     params = _structure(pytree.nest(b.sd))
-    return Model("vip", apply, params, importer=_structure)
+    return Model("vip", apply, params, importer=_structure,
+                 init_sd=b.sd)
