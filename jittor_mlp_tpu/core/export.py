@@ -44,7 +44,15 @@ def trace_export_map(init_sd, importer):
 
 
 def export_state_dict(params, init_sd, importer, strict=True):
-    """Invert the importer: params pytree → {torch name: numpy array}."""
+    """Invert the importer: params pytree → ({torch name: numpy array},
+    dropped_names).
+
+    A *fully* unmapped tensor means the importer dropped it — the reference
+    constructs parameters its forward never reads (e.g. sparse_mlp's
+    last-stage PatchMerging); those are emitted with their template (init)
+    values so torch's strict loading succeeds, and reported in
+    ``dropped_names``. A *partially* mapped tensor can only mean the importer
+    did arithmetic on it — that raises (or drops under strict=False)."""
     spans, tagged_params, total = trace_export_map(init_sd, importer)
     flat = np.empty(total, np.float64)
     filled = np.zeros(total, bool)
@@ -78,21 +86,26 @@ def export_state_dict(params, init_sd, importer, strict=True):
     walk(tagged_params, params, ())
 
     out = {}
+    dropped = []
     for name, (off, size, shape, dtype) in spans.items():
         got = filled[off:off + size]
-        if not got.all():
+        out_dtype = dtype if np.issubdtype(dtype, np.floating) else np.float32
+        if not got.any():
+            dropped.append(name)
+            out[name] = np.asarray(init_sd[name], out_dtype).reshape(shape)
+        elif not got.all():
             if strict:
                 raise ValueError(
-                    f"export could not recover '{name}' "
+                    f"export could only partially recover '{name}' "
                     f"({int((~got).sum())}/{size} elements unmapped — "
-                    "importer is not a pure element permutation for it)"
+                    "the importer did arithmetic on it, not a permutation)"
                 )
             continue
-        out_dtype = dtype if np.issubdtype(dtype, np.floating) else np.float32
-        out[name] = flat[off:off + size].reshape(shape).astype(out_dtype)
+        else:
+            out[name] = flat[off:off + size].reshape(shape).astype(out_dtype)
         if name.endswith("running_var"):
             # module also carries the bookkeeping buffer torch expects
             out[name.rsplit(".", 1)[0] + ".num_batches_tracked"] = np.asarray(
                 0, np.int64
             )
-    return out
+    return out, dropped

@@ -44,18 +44,21 @@ class Model:
         self._jit_cache.clear()
         return self
 
-    def export_torch_state_dict(self, tensors=True, strict=True):
+    def export_torch_state_dict(self, tensors=True, strict=True,
+                                return_dropped=False):
         """Export params as a torch ``state_dict`` — the reverse direction:
         train/convert here, deploy in torch. The inverse weight map is traced
         through the importer (core/export.py), so this works for every zoo
         model without per-model code. Returns torch tensors (or numpy arrays
-        with ``tensors=False``)."""
+        with ``tensors=False``); ``return_dropped=True`` additionally returns
+        the names whose values are template passthroughs because the importer
+        drops them (reference-dead parameters)."""
         from . import export as _export
 
         assert self._init_sd is not None, (
             "model was built without an init_sd template"
         )
-        sd = _export.export_state_dict(
+        sd, dropped = _export.export_state_dict(
             self.params, self._init_sd, self._importer, strict=strict
         )
         if tensors:
@@ -63,7 +66,7 @@ class Model:
 
             sd = {k: torch.from_numpy(np.ascontiguousarray(v))
                   for k, v in sd.items()}
-        return sd
+        return (sd, dropped) if return_dropped else sd
 
     def eval(self):
         self.training = False

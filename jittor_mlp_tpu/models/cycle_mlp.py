@@ -15,11 +15,27 @@ CycleFC lowers to K masked-weight matmuls over static shifts (ops/deform).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import nnf, pytree
 from ..core.init import SDBuilder
 from ..core.model import Model
 from ..ops.deform import cycle_fc
+
+
+def _gen_offset(c, kh, kw):
+    """The reference's registered offset buffer (cycle_mlp.py:106-122),
+    shape (1, 2c, 1, 1) with (Δy, Δx) interleaved per channel. Our forward
+    recomputes these statically (ops/deform.cycle_fc), but the buffer lives in
+    init_sd so the torch-export roundtrip emits it bit-exact."""
+    off = np.zeros((1, 2 * c, 1, 1), np.float32)
+    start = (kh * kw) // 2
+    for i in range(c):
+        if kh == 1:
+            off[0, 2 * i + 1] = (i + start) % kw - kw // 2
+        else:
+            off[0, 2 * i] = (i + start) % kh - kh // 2
+    return off
 
 
 def _cycle_mlp_branch(bp, x, dim):
@@ -125,8 +141,9 @@ def CycleNet(
             pre = f"network.{net_idx[i]}.{j}"
             b.layer_norm(f"{pre}.norm1", d)
             b.linear(f"{pre}.attn.mlp_c", d, d, bias=qkv_bias)
-            for sfc in ("sfc_h", "sfc_w"):
+            for sfc, (kh, kw) in (("sfc_h", (1, 3)), ("sfc_w", (3, 1))):
                 b.conv2d(f"{pre}.attn.{sfc}", d, d, 1)
+                b.param(f"{pre}.attn.{sfc}.offset", _gen_offset(d, kh, kw))
             b.linear(f"{pre}.attn.reweight.fc1", d, d // 4)
             b.linear(f"{pre}.attn.reweight.fc2", d // 4, d * 3)
             b.linear(f"{pre}.attn.proj", d, d)

@@ -33,14 +33,15 @@ _PAD_MODE = {
 }
 
 
-def _ff11(p, x):
-    """FeedForward of 1x1 convs (hire_mlp.py:33-42) as channel-last linears."""
-    y = nnf.gelu(nnf.conv1x1(p["net"]["0"], x))
-    return nnf.conv1x1(p["net"]["2"], y)
-
-
 def hire_block(bp, x, h, w, step, padding_type):
-    """x: (B, H, W, C); step: traced int (0 → no cross-region roll)."""
+    """x: (B, H, W, C); step: traced int (0 → no cross-region roll).
+
+    The reference rearranges inner regions into channels, 1x1-convs, and
+    rearranges back (hire_mlp.py:53-95). Materializing those transposes costs
+    4 full-tensor relayouts per block on a bandwidth-bound model; instead the
+    region axis stays where the reshape put it and the bottleneck FFs contract
+    it jointly with C via dot_general — identical math ('(c h)' c-major
+    channel order = weight reshape (·, C, h)), zero relayouts."""
     B, H, W, C = x.shape
     pad_h = h - H % h
     pad_w = w - W % w
@@ -50,41 +51,55 @@ def hire_block(bp, x, h, w, step, padding_type):
     Hp, Wp = H + pad_h, W + pad_w
     gh, gw = Hp // h, Wp // w
 
-    # H path: roll H by step, inner-region H, FF, restore, roll back
-    xh = jnp.roll(x, step, axis=1)
-    xh = (
-        xh.reshape(B, h, gh, Wp, C)
-        .transpose(0, 2, 3, 4, 1)
-        .reshape(B, gh, Wp, C * h)
-    )
-    xh = _ff11(bp["proj_h"], xh)
-    xh = (
-        xh.reshape(B, gh, Wp, C, h)
-        .transpose(0, 4, 1, 2, 3)
-        .reshape(B, Hp, Wp, C)
-    )
-    xh = jnp.roll(xh, -step, axis=1)
+    # H path: roll, split Hp → (h, gh) in place, contract (C, h) jointly
+    xh = jnp.roll(x, step, axis=1).reshape(B, h, gh, Wp, C)
+    xh = _ff_fold_h(bp["proj_h"], xh, C, h)
+    xh = jnp.roll(xh.reshape(B, Hp, Wp, C), -step, axis=1)
 
-    # W path
-    xw = jnp.roll(x, step, axis=2)
-    xw = (
-        xw.reshape(B, Hp, w, gw, C)
-        .transpose(0, 1, 3, 4, 2)
-        .reshape(B, Hp, gw, C * w)
-    )
-    xw = _ff11(bp["proj_w"], xw)
-    xw = (
-        xw.reshape(B, Hp, gw, C, w)
-        .transpose(0, 1, 4, 2, 3)
-        .reshape(B, Hp, Wp, C)
-    )
-    xw = jnp.roll(xw, -step, axis=2)
+    # W path: split Wp → (w, gw) in place
+    xw = jnp.roll(x, step, axis=2).reshape(B, Hp, w, gw, C)
+    xw = _ff_fold_w(bp["proj_w"], xw, C, w)
+    xw = jnp.roll(xw.reshape(B, Hp, Wp, C), -step, axis=2)
 
     # channel path
     xc = nnf.conv1x1(bp["proj_c"], x)
 
     out = xc + xh + xw
     return out[:, :H, :W, :]
+
+
+def _ff_weights(p, C, r):
+    """Bottleneck 1x1-conv pair as region-split tensors: W0 (K, C·r, 1, 1) →
+    (K, C, r); W2 (C·r, K, 1, 1) → (C, r, K). '(c h)' is c-major
+    (hire_mlp.py:62: 'b c (h group) w -> b (c w) ...' channel order)."""
+    w0 = p["net"]["0"]["weight"]
+    b0 = p["net"]["0"]["bias"]
+    w2 = p["net"]["2"]["weight"]
+    b2 = p["net"]["2"]["bias"]
+    K = w0.shape[0]
+    w0 = w0.reshape(K, C, r)
+    w2 = w2.reshape(C, r, K)
+    return w0, b0, w2, b2
+
+
+def _ff_fold_h(p, x5, C, h):
+    """x5 (B, h, gh, Wp, C) → FF over the (C, h) region jointly → same shape."""
+    f = x5.dtype
+    w0, b0, w2, b2 = _ff_weights(p, C, h)
+    t = jnp.einsum("bhgwc,kch->bgwk", x5, w0.astype(f)) + b0.astype(f)
+    t = nnf.gelu(t)
+    y = jnp.einsum("bgwk,chk->bhgwc", t, w2.astype(f))
+    return y + b2.astype(f).reshape(C, h).T[None, :, None, None, :]
+
+
+def _ff_fold_w(p, x5, C, w):
+    """x5 (B, Hp, w, gw, C) → FF over the (C, w) region jointly → same shape."""
+    f = x5.dtype
+    w0, b0, w2, b2 = _ff_weights(p, C, w)
+    t = jnp.einsum("bhwgc,kcw->bhgk", x5, w0.astype(f)) + b0.astype(f)
+    t = nnf.gelu(t)
+    y = jnp.einsum("bhgk,cwk->bhwgc", t, w2.astype(f))
+    return y + b2.astype(f).reshape(C, w).T[None, None, :, None, :]
 
 
 def HireMLP(

@@ -39,4 +39,34 @@ def check_parity(
     with config.parity_mode():
         got = np.asarray(ours.eval()(x))
     assert_close(got, want, tol=tol, name=f"{ref_module}.{ref_class}")
+
+    # export roundtrip: every imported tensor must come back bit-exact
+    # through the traced inverse weight map (core/export.py). Tensors the
+    # importer drops are either deterministic buffers whose init_sd template
+    # already equals the reference value (e.g. CycleFC's offset buffer), or
+    # must be provably dead in the reference forward (perturb-proof below).
+    exported, dropped = ours.export_torch_state_dict(
+        tensors=False, return_dropped=True
+    )
+    perturb = []
+    for k, v in ref.state_dict().items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        assert k in exported, f"export missing {k}"
+        if k in dropped and not np.array_equal(exported[k], v.numpy()):
+            perturb.append(k)
+            continue
+        np.testing.assert_array_equal(
+            exported[k], v.numpy(), err_msg=f"export roundtrip: {k}"
+        )
+    if perturb:
+        with torch.no_grad():
+            for k in perturb:
+                name, attr = k.rsplit(".", 1)
+                getattr(ref.get_submodule(name), attr).add_(1.0)
+            perturbed = ref(x).numpy()
+        np.testing.assert_array_equal(
+            perturbed, want,
+            err_msg=f"importer drops live parameters: {perturb}",
+        )
     return got, want
