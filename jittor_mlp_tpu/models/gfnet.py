@@ -23,45 +23,74 @@ from ..core.model import Model
 from ..utils import pair
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _dft_mats(a, b):
+    """Static ortho DFT matrices factoring rfft2/irfft2 into per-axis matmuls.
+
+    Returns (fw_r, fw_i, iw_r, iw_i, fh_r, fh_i) as f32 numpy: W-axis rDFT
+    (b, b//2+1) forward and its Hermitian-folded inverse (b//2+1, b) with the
+    2×/1× symmetry coefficients baked in, and the symmetric H-axis DFT (a, a).
+    """
+    bw = b // 2 + 1
+    n = np.arange(b)[:, None]
+    k = np.arange(bw)[None, :]
+    ang = 2 * np.pi * n * k / b
+    fw_r = (np.cos(ang) / np.sqrt(b)).astype(np.float32)
+    fw_i = (-np.sin(ang) / np.sqrt(b)).astype(np.float32)
+    # Hermitian fold: y[n] = Σ_k c_k (gr cos − gi sin)/√b, c = 1 at DC/Nyquist
+    c = np.where(
+        (k.ravel() == 0) | ((b % 2 == 0) & (k.ravel() == b // 2)), 1.0, 2.0
+    )[:, None]
+    angi = 2 * np.pi * np.arange(bw)[:, None] * np.arange(b)[None, :] / b
+    iw_r = (c * np.cos(angi) / np.sqrt(b)).astype(np.float32)
+    iw_i = (-c * np.sin(angi) / np.sqrt(b)).astype(np.float32)
+    p_ = np.arange(a)[:, None]
+    q_ = np.arange(a)[None, :]
+    ah = 2 * np.pi * p_ * q_ / a
+    fh_r = (np.cos(ah) / np.sqrt(a)).astype(np.float32)
+    fh_i = (-np.sin(ah) / np.sqrt(a)).astype(np.float32)
+    return fw_r, fw_i, iw_r, iw_i, fh_r, fh_i
+
+
 def global_filter(p, x, a, b):
     """x: (B, N, C) on an a×b grid (gfnet.py:47-72: rfft2 → learned complex
     weight → irfft2, norm='ortho').
 
-    The whole op is, per channel, a circular convolution with the kernel
-    k = irfft2(W) (convolution theorem; the ortho scalings cancel). On TPU,
-    XLA's FFT costs 1.59 ms/layer at 64×14×14×768 while the equivalent
-    circulant matmul runs on the MXU in ~0.2 ms, so for small grids we
-    materialize the (N, N, C) circulant from k — still a function of the
-    complex_weight param, so gradients flow for training — and contract it
-    with x. Large grids (GFNetPyramid's 56²/28² stages, where the circulant
-    would be GBs) keep the FFT path.
+    XLA's TPU FFT is slow (4.3 ms/layer at 64×56²×96, 2.1 ms at 64×28²×192),
+    so the transform is factored into per-axis DFT matmuls that ride the MXU:
+    rDFT along W (2 real matmuls), DFT along H (4), learned complex multiply,
+    F^H along H (4), Hermitian-folded irDFT along W (2) — measured 0.66 ms /
+    0.21 ms on those shapes, and it also edges out the (N, N, C) circulant
+    previously used for small grids (0.033 vs 0.052 ms at 14²×384; the
+    circulant is GBs at 56²). Exact to 9e-8 vs the FFT at high precision
+    (tools/gfnet_profile.py), and plain einsums, so gradients flow to
+    complex_weight.
     """
     B, N, C = x.shape
     w = p["complex_weight"]
-    # circulant materialization pays only for small grids: measured win at
-    # 14² (N=196; 2,182 → 2,915 img/s for GFNet-B) but a LOSS at the 28²
-    # pyramid stage (1,349 → 1,088 — the 236 MB/layer circulant build beats
-    # the matmul savings), so the threshold stays at N ≤ 256.
-    if N <= 256:
-        k = jnp.fft.irfft2(
-            w[..., 0].astype(jnp.float32) + 1j * w[..., 1].astype(jnp.float32),
-            s=(a, b), axes=(0, 1),
-        )  # (a, b, C) spatial kernel
-        ph, qh = np.arange(a)[:, None], np.arange(a)[None, :]
-        pw, qw = np.arange(b)[:, None], np.arange(b)[None, :]
-        dh = (ph - qh) % a  # (a, a) static
-        dw = (pw - qw) % b  # (b, b) static
-        m = k[dh[:, None, :, None], dw[None, :, None, :]]  # (a, b, a, b, C)
-        m = m.reshape(N, N, C).astype(x.dtype)
-        return jnp.einsum(
-            "bqc,pqc->bpc", x, m, preferred_element_type=jnp.float32,
-            precision=nnf._prec(),
-        ).astype(x.dtype)
-    y = x.reshape(B, a, b, C).astype(jnp.float32)
-    y = jnp.fft.rfft2(y, axes=(1, 2), norm="ortho")
-    y = y * (w[..., 0] + 1j * w[..., 1])
-    y = jnp.fft.irfft2(y, s=(a, b), axes=(1, 2), norm="ortho")
-    return y.reshape(B, N, C).astype(x.dtype)
+    f = x.dtype
+    prec = nnf._prec()
+    fw_r, fw_i, iw_r, iw_i, fh_r, fh_i = (
+        jnp.asarray(m, f) for m in _dft_mats(a, b)
+    )
+    wr = w[..., 0].astype(f)
+    wi = w[..., 1].astype(f)
+    x4 = x.reshape(B, a, b, C)
+    e = lambda s, u, v: jnp.einsum(s, u, v, precision=prec)
+    xr = e("bhwc,wk->bhkc", x4, fw_r)
+    xi = e("bhwc,wk->bhkc", x4, fw_i)
+    yr = e("bhkc,hp->bpkc", xr, fh_r) - e("bhkc,hp->bpkc", xi, fh_i)
+    yi = e("bhkc,hp->bpkc", xr, fh_i) + e("bhkc,hp->bpkc", xi, fh_r)
+    zr = yr * wr - yi * wi
+    zi = yr * wi + yi * wr
+    # inverse H DFT is F^H = conj(F)ᵀ; F is symmetric so only conj remains
+    gr = e("bpkc,ph->bhkc", zr, fh_r) + e("bpkc,ph->bhkc", zi, fh_i)
+    gi = e("bpkc,ph->bhkc", zi, fh_r) - e("bpkc,ph->bhkc", zr, fh_i)
+    y = e("bhkc,kw->bhwc", gr, iw_r) + e("bhkc,kw->bhwc", gi, iw_i)
+    return y.reshape(B, N, C)
 
 
 def _block(bp, x, a, b, gamma=False, train=False, rng=None):

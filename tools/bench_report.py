@@ -17,14 +17,15 @@ NOTES = {
     "active_mlp": "learned float offsets: dense hat-function bilinear "
                   "contraction (85× over gather lowering; 15 GF/img vs "
                   "CycleMLP's 2.4)",
-    "hire_mlp": "small-spatial stages (14²·C320 ×24 blocks) are "
-                "dispatch/bandwidth-bound: ~25 elementwise/reshape ops per "
-                "8 MB block tensor",
-    "gfnet_h_b": "56² pyramid stages keep the XLA FFT (circulant would be "
-                 "1.9 GB/layer)",
-    "gfnet": "global filter lowered to a circulant MXU matmul "
-             "(+34% over the FFT form)",
-    "mlp_mixer": "fused Pallas block; 5,205 img/s at the driver's batch 256 "
+    "hire_mlp": "inner-region transposes folded into the FF contractions "
+                "(dot_general over the joint (C, region) axes): 1,489 → "
+                "3,229 img/s",
+    "gfnet_h_b": "rfft2/irfft2 factored into per-axis DFT matmuls on the MXU "
+                 "(XLA's TPU FFT is 6.5–10× slower at the 56²/28² stages): "
+                 "1,461 → 3,689 img/s",
+    "gfnet": "global filter as separable DFT matmuls (tools/gfnet_profile.py)"
+             ": 3,063 → 4,800 img/s",
+    "mlp_mixer": "fused Pallas block; 6,269 img/s at the driver's batch 256 "
                  "(bench.py)",
 }
 
@@ -36,6 +37,18 @@ def main():
         r = json.loads(line)
         recs[r["model"]] = r  # last write wins
     rows = sorted(recs.values(), key=lambda r: r["model"])
+
+    # --skip-parity sweep records carry no param count; build on CPU to fill
+    if any("params" not in r for r in rows if "error" not in r):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, ".")
+        import compare
+
+        for r in rows:
+            if "error" not in r and "params" not in r:
+                r["params"] = compare.build_ours(r["model"]).param_count()
 
     out = [
         "# On-chip benchmarks (single v5e, bf16, batch 64, compare.py configs)",
@@ -55,7 +68,7 @@ def main():
             continue
         note = NOTES.get(r["model"], "")
         out.append(
-            f"| {r['model']} | {r['params']:,} | {r['fps']:,} | {note} |"
+            f"| {r['model']} | {r['params']:,} | {r['fps']:,.0f} | {note} |"
         )
     out += [
         "",
