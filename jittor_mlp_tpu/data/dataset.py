@@ -6,7 +6,9 @@ closes the framework-completeness gap so the trainer (parallel/train.py) can
 consume real images end-to-end:
 
 - ImageFolderDataset: torchvision-style class-per-subdirectory image tree,
-  decoded on the host (PIL) to uint8 HWC at a fixed size.
+  decoded on the host to uint8 HWC at a fixed size — batches ride the native
+  threaded JPEG/PNG decoder (data/native/decode.cpp) with per-image PIL
+  fallback for anything it can't handle.
 - ArrayDataset: in-memory uint8 images + labels.
 - BatchIterator: epoch shuffling + background-thread prefetch producing
   pinned numpy batches {'image': u8 NHWC, 'label': i32}; decode/resize ride
@@ -78,6 +80,28 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.samples)
 
+    def get_batch(self, idxs):
+        """Decode a batch on the native C++ thread pool (data/native/
+        decode.cpp: libjpeg scaled decode + libpng, shorter-side resize +
+        center crop — same geometry as get()); images the native path can't
+        handle (bmp/webp/CMYK/corrupt) fall back to PIL per image."""
+        from .loader import decode_available, decode_batch
+
+        if not decode_available():
+            imgs, labels = zip(*(self.get(i) for i in idxs))
+            return np.stack(imgs), np.asarray(labels, np.int32)
+        buffers = []
+        labels = []
+        for i in idxs:
+            path, label = self.samples[i]
+            with open(path, "rb") as f:
+                buffers.append(f.read())
+            labels.append(label)
+        batch, fail = decode_batch(buffers, self.decode_size)
+        for j in np.nonzero(fail)[0]:
+            batch[j] = self.get(idxs[j])[0]
+        return batch, np.asarray(labels, np.int32)
+
     def get(self, idx):
         from PIL import Image
 
@@ -121,8 +145,11 @@ class BatchIterator:
         return order
 
     def _assemble(self, idxs):
-        imgs, labels = zip(*(self.ds.get(i) for i in idxs))
-        batch = np.stack(imgs)
+        if hasattr(self.ds, "get_batch"):
+            batch, labels = self.ds.get_batch(idxs)
+        else:
+            imgs, labels = zip(*(self.ds.get(i) for i in idxs))
+            batch = np.stack(imgs)
         if self.resize_to and batch.shape[1] != self.resize_to:
             batch = resize_batch(batch, self.resize_to)
         return {"image": batch, "label": np.asarray(labels, np.int32)}

@@ -68,6 +68,71 @@ def native_available():
     return _lib() is not None
 
 
+_DECODE_SRC = os.path.join(os.path.dirname(__file__), "native", "decode.cpp")
+_DECODE_SO = os.path.join(os.path.dirname(__file__), "native", "_decode.so")
+_DECODE_LIB = None
+_DECODE_TRIED = False
+
+
+def _decode_lib():
+    global _DECODE_LIB, _DECODE_TRIED
+    with _LOCK:
+        if _DECODE_LIB is not None or _DECODE_TRIED:
+            return _DECODE_LIB
+        _DECODE_TRIED = True
+        try:
+            if (not os.path.exists(_DECODE_SO)
+                    or os.path.getmtime(_DECODE_SO) < os.path.getmtime(_DECODE_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _DECODE_SO,
+                     _DECODE_SRC, "-ljpeg", "-lpng", "-lpthread"],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_DECODE_SO)
+            lib.decode_batch_to_square_rgb.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+            _DECODE_LIB = lib
+        except Exception:
+            _DECODE_LIB = None
+        return _DECODE_LIB
+
+
+def decode_available():
+    return _decode_lib() is not None
+
+
+def decode_batch(buffers, size, threads=None):
+    """Decode a list of encoded image byte strings (JPEG/PNG) to a
+    (n, size, size, 3) uint8 batch — shorter-side resize + center crop,
+    the ImageFolderDataset.get geometry — on a native thread pool.
+
+    Returns (batch, fail) where fail[i] is True for images the native path
+    could not handle (other containers, CMYK, corrupt data); the caller
+    falls back to PIL for those. Raises RuntimeError if the native library
+    is unavailable — gate on decode_available().
+    """
+    lib = _decode_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(buffers)
+    blob = b"".join(buffers)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in buffers], out=offsets[1:])
+    out = np.empty((n, size, size, 3), np.uint8)
+    fail = np.zeros(n, np.uint8)
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    blob_arr = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    lib.decode_batch_to_square_rgb(
+        blob_arr.ctypes.data, offsets.ctypes.data, n,
+        out.ctypes.data, size, threads, fail.ctypes.data,
+    )
+    return out, fail.astype(bool)
+
+
 def normalize_batch(images_u8, mean, std):
     """(N, H, W, C) uint8 → (N, C, H, W) float32 standardized."""
     images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)

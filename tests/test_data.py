@@ -153,3 +153,58 @@ def test_augment_feeds_train_step():
              "label": jnp.asarray(batch["label"])}
         params, opt_state, loss = step(params, opt_state, b, k2)
         assert np.isfinite(float(loss))
+
+
+def _smooth_img(h, w, seed):
+    # smooth gradients: JPEG is lossy and the native resize is bilinear vs
+    # PIL's bicubic, so high-frequency noise would conflate filter error
+    # with decode error
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 127 + 100 * np.sin(yy / h * 3 + seed)
+    g = 127 + 100 * np.cos(xx / w * 4 - seed)
+    b = (yy / h + xx / w) * 120
+    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def test_native_decode_matches_pil(tmp_path):
+    import pytest
+    from PIL import Image
+
+    from jittor_mlp_tpu.data import ImageFolderDataset
+
+    if not loader.decode_available():
+        pytest.skip("native decoder unavailable")
+
+    d = tmp_path / "c"
+    d.mkdir()
+    shapes = [("jpg", 90, 70), ("jpg", 41, 67), ("png", 64, 48), ("png", 33, 33)]
+    for j, (fmt, h, w) in enumerate(shapes):
+        Image.fromarray(_smooth_img(h, w, j)).save(d / f"{j}.{fmt}", quality=95)
+
+    ds = ImageFolderDataset(str(tmp_path), decode_size=32)
+    batch, labels = ds.get_batch(list(range(len(ds))))
+    assert batch.shape == (4, 32, 32, 3) and batch.dtype == np.uint8
+    assert labels.tolist() == [0, 0, 0, 0]
+    for i in range(len(ds)):
+        ref, _ = ds.get(i)  # the PIL path
+        diff = np.abs(batch[i].astype(int) - ref.astype(int)).mean()
+        assert diff < 8, f"image {i}: native-vs-PIL mean abs {diff}"
+
+
+def test_native_decode_fallback_containers(tmp_path):
+    from PIL import Image
+
+    from jittor_mlp_tpu.data import ImageFolderDataset
+
+    d = tmp_path / "c"
+    d.mkdir()
+    # bmp is outside the native decoder's containers; it must flag the image
+    # and serve it through the PIL fallback inside the same batch
+    Image.fromarray(_smooth_img(48, 40, 0)).save(d / "a.bmp")
+    Image.fromarray(_smooth_img(52, 44, 1)).save(d / "b.png")
+
+    ds = ImageFolderDataset(str(tmp_path), decode_size=24)
+    batch, labels = ds.get_batch([0, 1])
+    assert batch.shape == (2, 24, 24, 3)
+    ref, _ = ds.get(0)
+    np.testing.assert_array_equal(batch[0], ref)
