@@ -72,6 +72,11 @@ def main():
         )
     out += [
         "",
+        "Training step (full fwd+bwd+adamw, Mixer-B/16 @224 b128, one v5e;",
+        "`tools/train_bench.py`): 701 img/s f32 with block remat (the",
+        "no-remat backward needs 25.6 GB > 15.75 GB HBM), 1,062 img/s bf16",
+        "via the fused Pallas forward + XLA backward.",
+        "",
         "Models under ~2k img/s are at measured architectural rooflines, not",
         "missing optimization — each note states the binding limit; the",
         "ConvMixer analysis in full: the depthwise k7 conv is VPU work",
