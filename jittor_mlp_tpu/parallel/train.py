@@ -78,13 +78,27 @@ def batch_sharding(mesh):
     }
 
 
-def make_train_step(apply_fn, optimizer):
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype`` (ints/bools pass)."""
+    return jax.tree.map(
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+        tree,
+    )
+
+
+def make_train_step(apply_fn, optimizer, compute_dtype=None):
     """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, loss).
 
     Sharding comes from the inputs' NamedShardings (place params with
     ``init_sharded`` and batches with ``batch_sharding``); XLA's SPMD
     partitioner propagates them and inserts the ICI collectives, so the step
     itself is mesh-agnostic.
+
+    ``compute_dtype=jnp.bfloat16`` gives standard TPU mixed precision: master
+    weights, gradients, and the optimizer stay f32; the forward/backward runs
+    in bf16 (params and images cast at the loss boundary, so autodiff emits
+    f32 grads through the cast).
     """
 
     def step(params, opt_state, batch, rng):
@@ -92,7 +106,11 @@ def make_train_step(apply_fn, optimizer):
 
         def loss_fn(train):
             full = merge_params(train, aux, treedef, n)
-            logits = apply_fn(full, batch["image"], train=True, rng=rng)
+            x = batch["image"]
+            if compute_dtype is not None:
+                full = cast_floating(full, compute_dtype)
+                x = x.astype(compute_dtype)
+            logits = apply_fn(full, x, train=True, rng=rng)
             return cross_entropy_loss(logits, batch["label"])
 
         loss, grads = jax.value_and_grad(loss_fn)(train)

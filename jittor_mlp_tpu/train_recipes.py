@@ -216,12 +216,18 @@ def init_recipe_state(params, optimizer, mesh, recipe=Recipe()):
     return RecipeState(params, opt_state, ema, jnp.zeros((), jnp.int32))
 
 
-def make_recipe_train_step(apply_fn, optimizer, num_classes, recipe=Recipe()):
+def make_recipe_train_step(apply_fn, optimizer, num_classes, recipe=Recipe(),
+                           compute_dtype=None):
     """Jitted (state, batch, rng) -> (state, metrics).
 
     batch: {'image': NCHW float, 'label': int labels}. Metrics are scalars
     computed on device: loss, top-1 accuracy against the hard labels, and
-    grad l2 norm. Mesh-agnostic: sharding propagates from the inputs."""
+    grad l2 norm. Mesh-agnostic: sharding propagates from the inputs.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: f32 master
+    weights/grads/optimizer/EMA, bf16 forward+backward (see
+    parallel.train.make_train_step)."""
+    from .parallel.train import cast_floating
 
     def step(state, batch, rng):
         params, opt_state, ema, it = state
@@ -241,7 +247,11 @@ def make_recipe_train_step(apply_fn, optimizer, num_classes, recipe=Recipe()):
 
         def loss_fn(train):
             full = merge_params(train, aux, treedef, n)
-            logits = apply_fn(full, images, train=True, rng=k_model)
+            x = images
+            if compute_dtype is not None:
+                full = cast_floating(full, compute_dtype)
+                x = x.astype(compute_dtype)
+            logits = apply_fn(full, x, train=True, rng=k_model)
             return soft_cross_entropy(logits, soft), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(train)

@@ -150,3 +150,82 @@ def test_recipe_train_step_descends_and_ema_tracks():
     assert out.shape == (2, 4) and bool(jnp.all(jnp.isfinite(out)))
     live = model.apply(state.params, x)
     assert not np.allclose(np.asarray(out), np.asarray(live))
+
+
+def test_mixed_precision_step_keeps_f32_masters():
+    """compute_dtype=bf16: forward/backward runs bf16, master weights, grads
+    and optimizer state stay f32, and a few steps still descend."""
+    from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu.parallel.train import batch_sharding, split_params
+
+    model = jm.MLPMixerForImageClassification(
+        image_size=16, patch_size=4, d_model=32, depth=2, num_classes=4,
+        use_pallas=False,
+    )
+    mesh = make_mesh(len(jax.devices()), model_parallel=2)
+    recipe = Recipe(mixup_alpha=0.0, cutmix_alpha=0.0, label_smoothing=0.0,
+                    ema_decay=0.0)
+    optimizer = optax.adamw(3e-3)
+    state = init_recipe_state(model.params, optimizer, mesh, recipe)
+    step = make_recipe_train_step(model.apply, optimizer, 4, recipe,
+                                  compute_dtype=jnp.bfloat16)
+
+    rng_np = np.random.default_rng(0)
+    protos = rng_np.standard_normal((4, 3, 16, 16)).astype(np.float32)
+    bsh = batch_sharding(mesh)
+
+    def batch(i):
+        rs = np.random.default_rng(i)
+        lab = rs.integers(0, 4, 16)
+        img = protos[lab] + 0.2 * rs.standard_normal((16, 3, 16, 16)).astype(
+            np.float32
+        )
+        return {
+            "image": jax.device_put(jnp.asarray(img), bsh["image"]),
+            "label": jax.device_put(jnp.asarray(lab), bsh["label"]),
+        }
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    with mesh:
+        for i in range(20):
+            state, metrics = step(state, batch(i), rng)
+            losses.append(float(metrics["loss"]))
+            assert np.isfinite(losses[-1])
+    train, _, _, _ = split_params(state.params)
+    for leaf in jax.tree.leaves(train):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    for leaf in jax.tree.leaves(state.opt_state):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            assert jnp.asarray(leaf).dtype == jnp.float32
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_core_train_step_mixed_precision():
+    from jittor_mlp_tpu.parallel import make_mesh
+    from jittor_mlp_tpu.parallel.train import (
+        batch_sharding, init_sharded, make_train_step,
+    )
+
+    model = jm.MLPMixerForImageClassification(
+        image_size=8, patch_size=4, d_model=32, depth=2, num_classes=4,
+        use_pallas=False,
+    )
+    mesh = make_mesh(len(jax.devices()), model_parallel=2)
+    optimizer = optax.adamw(1e-3)
+    params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
+    step = make_train_step(model.apply, optimizer,
+                           compute_dtype=jnp.bfloat16)
+    bsh = batch_sharding(mesh)
+    batch = {
+        "image": jax.device_put(jnp.ones((8, 3, 8, 8), jnp.float32),
+                                bsh["image"]),
+        "label": jax.device_put(jnp.zeros((8,), jnp.int32), bsh["label"]),
+    }
+    with mesh:
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(params):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            assert jnp.asarray(leaf).dtype == jnp.float32

@@ -23,6 +23,7 @@ def measure(model, batch, dtype_name, iters):
     from jax import lax
 
     from jittor_mlp_tpu.parallel.train import (
+        cast_floating,
         cross_entropy_loss,
         merge_params,
         split_params,
@@ -48,8 +49,11 @@ def measure(model, batch, dtype_name, iters):
 
             def loss_fn(train):
                 full = merge_params(train, aux, treedef, n)
-                logits = apply(full, x + (acc * 1e-8).astype(x.dtype),
-                               train=True, rng=rng)
+                xi = x + (acc * 1e-8).astype(x.dtype)
+                if dtype_name == "mixed":  # f32 master, bf16 compute
+                    full = cast_floating(full, jnp.bfloat16)
+                    xi = xi.astype(jnp.bfloat16)
+                logits = apply(full, xi, train=True, rng=rng)
                 return cross_entropy_loss(logits, labels)
 
             loss, grads = jax.value_and_grad(loss_fn)(train)
@@ -91,13 +95,14 @@ def main():
     # backward (25.6 GB > 15.75 GB HBM): block remat is the production
     # memory fit. bf16 rides the fused Pallas forward + XLA backward.
     remat_runner = lambda f, p, x: nnf.scan_blocks(f, p, x, remat=True)
-    for mode in ("f32", "bf16"):
+    for mode in ("f32", "mixed", "bf16"):
         model = jm.MLPMixerForImageClassification(
             d_model=768, depth=12, token_dim=384,
             block_runner=remat_runner if mode == "f32" else None,
         )
         if mode == "bf16":
             model.to_bf16()
+        if mode in ("bf16", "mixed"):
             with config.bf16_mode():
                 fps = measure(model, args.batch, mode, args.iters)
         else:
