@@ -108,7 +108,12 @@ def _kernel(
 
 def _plain_block(x, ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1,
                  wc2, bc2):
-    """jnp reference of the same math; used as the VJP of the fused kernel."""
+    """jnp reference of the same math; used as the VJP of the fused kernel.
+    Activation matches the kernel's per-dtype choice (_act_for): bf16 uses
+    the tanh form, so the backward differentiates the function the forward
+    actually computed (and skips XLA's 6×-bandwidth exact erf)."""
+    act = _act_for(x.dtype)
+
     def ln(x, w, b, eps=1e-5):
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, -1, keepdims=True)
@@ -117,10 +122,10 @@ def _plain_block(x, ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1,
         return ((y * w + b)).astype(x.dtype)
 
     y = jnp.einsum("oi,bid->bod", wt1, ln(x, ln1w, ln1b)) + bt1[None, :, None]
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = act(y.astype(jnp.float32)).astype(x.dtype)
     h = x + jnp.einsum("oi,bid->bod", wt2, y) + bt2[None, :, None]
     c = jnp.matmul(ln(h, ln2w, ln2b), wc1.T) + bc1
-    c = jax.nn.gelu(c.astype(jnp.float32), approximate=False).astype(x.dtype)
+    c = act(c.astype(jnp.float32)).astype(x.dtype)
     return h + jnp.matmul(c, wc2.T) + bc2
 
 

@@ -73,11 +73,13 @@ def main():
     out += [
         "",
         "Training step (full fwd+bwd+adamw, Mixer-B/16 @224 b128, one v5e;",
-        "`tools/train_bench.py`): 775 img/s f32 with block remat (the",
-        "no-remat backward needs 25.6 GB > 15.75 GB HBM); 1,062 img/s mixed",
+        "`tools/train_bench.py`): 776 img/s f32 with block remat (the",
+        "no-remat backward needs 25.6 GB > 15.75 GB HBM); 1,432 img/s mixed",
         "precision (f32 master weights/grads/optimizer, bf16 compute via",
-        "`make_train_step(compute_dtype=bf16)`); 1,077 img/s pure bf16 —",
-        "mixed costs ~1% over bf16 and keeps f32 update numerics.",
+        "`make_train_step(compute_dtype=bf16)`); 1,456 img/s pure bf16 —",
+        "mixed costs ~2% over bf16 and keeps f32 update numerics. The bf16",
+        "backward differentiates the same hardware-tanh GELU the fused",
+        "forward computes (was exact-erf: +35% train throughput).",
         "",
         "Models under ~2k img/s are at measured architectural rooflines, not",
         "missing optimization — each note states the binding limit; the",
