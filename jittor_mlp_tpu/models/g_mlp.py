@@ -51,24 +51,29 @@ def gMLPForImageClassification(
 
         if (
             use_pallas
-            and not train
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
         ):
-            from ..ops.pallas.gmlp_block import fused_gmlp_block
+            # train mode uses the custom-VJP variant (Pallas forward, XLA
+            # backward); the block has no dropout so train == eval math
+            from ..ops.pallas.gmlp_block import (
+                fused_gmlp_block,
+                fused_gmlp_block_trainable,
+            )
 
             def fblock(bp, h):
-                return fused_gmlp_block(
-                    h,
+                w = (
                     bp["norm"]["weight"], bp["norm"]["bias"],
                     bp["channel_proj1"]["weight"], bp["channel_proj1"]["bias"],
                     bp["sgu"]["norm"]["weight"], bp["sgu"]["norm"]["bias"],
                     bp["sgu"]["spatial_proj"]["weight"][:, :, 0],
                     bp["sgu"]["spatial_proj"]["bias"],
                     bp["channel_proj2"]["weight"], bp["channel_proj2"]["bias"],
-                    bt=2,
                 )
+                if train:
+                    return fused_gmlp_block_trainable(2, h, *w)
+                return fused_gmlp_block(h, *w, bt=2)
 
             x = nnf.scan_blocks(fblock, params["blocks"], x)
             x = nnf.global_avg_pool_tokens(x)

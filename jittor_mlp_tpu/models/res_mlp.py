@@ -49,16 +49,19 @@ def ResMLPForImageClassification(
 
         if (
             use_pallas
-            and not train
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
         ):
-            from ..ops.pallas.resmlp_block import fused_resmlp_block
+            # train mode uses the custom-VJP variant (Pallas forward, XLA
+            # backward); the block has no dropout so train == eval math
+            from ..ops.pallas.resmlp_block import (
+                fused_resmlp_block,
+                fused_resmlp_block_trainable,
+            )
 
             def fblock(bp, h):
-                return fused_resmlp_block(
-                    h,
+                w = (
                     bp["pre_affine"]["alpha"].reshape(-1),
                     bp["pre_affine"]["beta"].reshape(-1),
                     bp["gamma_1"],
@@ -69,8 +72,10 @@ def ResMLPForImageClassification(
                     bp["gamma_2"],
                     bp["ff"]["net"]["0"]["weight"], bp["ff"]["net"]["0"]["bias"],
                     bp["ff"]["net"]["3"]["weight"], bp["ff"]["net"]["3"]["bias"],
-                    bt=2,
                 )
+                if train:
+                    return fused_resmlp_block_trainable(2, h, *w)
+                return fused_resmlp_block(h, *w, bt=2)
 
             x = nnf.scan_blocks(fblock, params["blocks"], x)
             x = nnf.global_avg_pool_tokens(x)

@@ -82,3 +82,47 @@ def fused_gmlp_block(x, ln1w, ln1b, w1, b1, sgu_w, sgu_b, wsp, bs, w2, b2,
             transcendentals=B * N * f2,
         ),
     )(x, ln1w, ln1b, w1.T, b1, sgu_w, sgu_b, wspp, bs, w2.T, b2)
+
+
+def _plain_gmlp_block(x, ln1w, ln1b, w1, b1, sgu_w, sgu_b, wsp, bs, w2, b2):
+    """jnp reference of the kernel's math with its per-dtype activation;
+    used as the VJP of the fused kernel (Pallas forward, XLA backward)."""
+    act = _act_for(x.dtype)
+
+    def ln(t, w, b, eps=1e-5):
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(tf - mu), -1, keepdims=True)
+        y = (tf - mu) * jax.lax.rsqrt(var + eps)
+        return (y * w + b).astype(t.dtype)
+
+    d_ffn = w1.shape[0] // 2
+    y = jnp.matmul(ln(x, ln1w, ln1b), w1.T) + b1
+    y = act(y.astype(jnp.float32)).astype(x.dtype)
+    u, v = y[..., :d_ffn], y[..., d_ffn:]
+    vn = ln(v, sgu_w, sgu_b)
+    v2 = jnp.einsum("on,bnf->bof", wsp, vn) + bs[None, :, None]
+    g = (u.astype(jnp.float32) * v2.astype(jnp.float32)).astype(x.dtype)
+    return x + jnp.matmul(g, w2.T) + b2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_gmlp_block_trainable(bt, x, ln1w, ln1b, w1, b1, sgu_w, sgu_b,
+                               wsp, bs, w2, b2):
+    """Differentiable fused block: Pallas forward, XLA backward (the VJP of
+    the identical jnp formulation)."""
+    return fused_gmlp_block(x, ln1w, ln1b, w1, b1, sgu_w, sgu_b, wsp, bs,
+                            w2, b2, bt=bt)
+
+
+def _gtrain_fwd(bt, x, *w):
+    return fused_gmlp_block(x, *w, bt=bt), (x, w)
+
+
+def _gtrain_bwd(bt, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, *w: _plain_gmlp_block(x, *w), x, *w)
+    return vjp(g)
+
+
+fused_gmlp_block_trainable.defvjp(_gtrain_fwd, _gtrain_bwd)

@@ -79,3 +79,42 @@ def fused_resmlp_block(x, alpha1, beta1, gamma1, wt, bt_tok, alpha2, beta2,
         ),
     )(x, alpha1, beta1, gamma1, wtp, bt_tok, alpha2, beta2, gamma2,
       w1.T, c1, w2.T, c2)
+
+
+def _plain_resmlp_block(x, alpha1, beta1, gamma1, wt, bt_tok, alpha2, beta2,
+                        gamma2, w1, c1, w2, c2):
+    """jnp reference of the kernel's math with its per-dtype activation;
+    used as the VJP of the fused kernel (Pallas forward, XLA backward)."""
+    act = _act_for(x.dtype)
+    h = (x.astype(jnp.float32) * alpha1 + beta1).astype(x.dtype)
+    t = jnp.einsum("on,bnd->bod", wt, h) + bt_tok[None, :, None]
+    h = h.astype(jnp.float32) + gamma1 * t.astype(jnp.float32)
+    h = (h * alpha2 + beta2).astype(x.dtype)
+    c = jnp.matmul(h, w1.T) + c1
+    c = act(c.astype(jnp.float32)).astype(x.dtype)
+    f = jnp.matmul(c, w2.T) + c2
+    return (h.astype(jnp.float32) + gamma2 * f.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_resmlp_block_trainable(bt, x, alpha1, beta1, gamma1, wt, bt_tok,
+                                 alpha2, beta2, gamma2, w1, c1, w2, c2):
+    """Differentiable fused block: Pallas forward, XLA backward (the VJP of
+    the identical jnp formulation)."""
+    return fused_resmlp_block(x, alpha1, beta1, gamma1, wt, bt_tok, alpha2,
+                              beta2, gamma2, w1, c1, w2, c2, bt=bt)
+
+
+def _rtrain_fwd(bt, x, *w):
+    return fused_resmlp_block(x, *w, bt=bt), (x, w)
+
+
+def _rtrain_bwd(bt, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x, *w: _plain_resmlp_block(x, *w), x, *w)
+    return vjp(g)
+
+
+fused_resmlp_block_trainable.defvjp(_rtrain_fwd, _rtrain_bwd)

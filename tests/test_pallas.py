@@ -191,3 +191,83 @@ def test_fused_resmlp_block_matches_plain():
     f = jax.nn.gelu(h @ w1.T + c1, approximate=False) @ w2.T + c2
     want = np.asarray(h + g2 * f)
     assert np.abs(got - want).max() < 1e-5
+
+def test_fused_gmlp_trainable_grads_match_plain():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.gmlp_block as gb
+
+    B, N, D, F = 4, 20, 32, 24
+    k = jax.random.PRNGKey(1)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(2 * F, D), rn(2 * F), rn(F), rn(F),
+            rn(N, N), rn(N), rn(D, F), rn(D))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(x, *w):
+            return (gb.fused_gmlp_block_trainable(2, x, *w) ** 2).sum()
+
+        def loss_plain(x, *w):
+            return (gb._plain_gmlp_block(x, *w) ** 2).sum()
+
+        lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 3, 7))(x, *args)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 3, 7))(x, *args)
+        np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-6)
+    finally:
+        pl.pallas_call = orig
+
+
+def test_fused_resmlp_trainable_grads_match_plain():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.resmlp_block as rb
+
+    B, N, D = 4, 20, 32
+    F = 4 * D
+    k = jax.random.PRNGKey(2)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(D), rn(N, N), rn(N), rn(D), rn(D), rn(D),
+            rn(F, D), rn(F), rn(D, F), rn(D))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(x, *w):
+            return (rb.fused_resmlp_block_trainable(2, x, *w) ** 2).sum()
+
+        def loss_plain(x, *w):
+            return (rb._plain_resmlp_block(x, *w) ** 2).sum()
+
+        lf, gf = jax.value_and_grad(loss_fused, argnums=(0, 3, 4))(x, *args)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 3, 4))(x, *args)
+        np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-6)
+    finally:
+        pl.pallas_call = orig
