@@ -33,6 +33,23 @@ def _spatial_mlp(p, x, num_heads, ws2):
     return y.transpose(0, 2, 1, 3)
 
 
+def _windowed_spatial_mlp(p, y, ws, num_heads):
+    """The window partition → grouped matmul → window reverse round trip as
+    ONE einsum over the 6D windowed tensor — the window and head axes stay
+    where the reshape put them, so the 4 full-tensor relayouts the explicit
+    path materializes disappear into the contraction (measured 3-4× faster
+    at the 56²/28²/14² stages, tools/swin_probe.py)."""
+    B, Hp, Wp, C = y.shape
+    ch = C // num_heads
+    w5 = p["weight"][:, :, 0].reshape(num_heads, ws, ws, ws, ws)
+    b5 = p["bias"].reshape(num_heads, ws, ws).transpose(1, 2, 0)
+    y6 = y.reshape(B, Hp // ws, ws, Wp // ws, ws, num_heads, ch)
+    out = jnp.einsum("bpiqjhc,hklij->bpkqlhc", y6, w5,
+                     precision=nnf._prec())
+    out = out + b5[None, None, :, None, :, :, None]
+    return out.reshape(B, Hp, Wp, C)
+
+
 def _swin_block(bp, x, H, W, C, num_heads, window_size, shift_size,
                 dpr=0.0, train=False, rng=None):
     import jax as _jax
@@ -49,10 +66,15 @@ def _swin_block(bp, x, H, W, C, num_heads, window_size, shift_size,
         pr = pb = shift_size
         y = jnp.pad(y, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     Hp, Wp = y.shape[1], y.shape[2]
-    win = window_partition(y, ws).reshape(-1, ws * ws, num_heads, C // num_heads)
-    win = _spatial_mlp(bp["spatial_mlp"], win, num_heads, ws * ws)
-    win = win.reshape(-1, ws, ws, C)
-    y = window_reverse(win, ws, Hp, Wp)
+    if Hp == ws and Wp == ws:
+        # single window: the explicit path is relayout-free and faster
+        win = window_partition(y, ws).reshape(
+            -1, ws * ws, num_heads, C // num_heads
+        )
+        win = _spatial_mlp(bp["spatial_mlp"], win, num_heads, ws * ws)
+        y = window_reverse(win.reshape(-1, ws, ws, C), ws, Hp, Wp)
+    else:
+        y = _windowed_spatial_mlp(bp["spatial_mlp"], y, ws, num_heads)
     if shift_size > 0:
         y = y[:, pt : Hp - pb, pl : Wp - pr, :]
     y = y.reshape(B, H * W, C)

@@ -25,6 +25,9 @@ NOTES = {
                  "1,461 → 3,689 img/s",
     "gfnet": "global filter as separable DFT matmuls (tools/gfnet_profile.py)"
              ": 3,063 → 4,800 img/s",
+    "swin_mlp": "window partition/reverse folded into the grouped spatial "
+                "matmul as one 6D einsum (tools/swin_probe.py): 3,347 → "
+                "5,997 img/s",
     "mlp_mixer": "fused Pallas block; 6,269 img/s at the driver's batch 256 "
                  "(bench.py)",
 }
