@@ -23,21 +23,29 @@ from ..utils import pair
 
 
 def _mix_h(p, x, s):
+    """Segment-permuted H mixing (vip.py:68-77, 'b h w (c s) -> b w c (h s)'
+    → Linear(H·s) → back). The permutes are folded into the contraction: the
+    weight reshapes to (k, l, h, s) ('(h s)' is h-major) and one einsum
+    contracts (h, s) jointly — the output's (c, l) axes land adjacent, so no
+    transpose ever materializes (same relayout-folding trick as HireMLP and
+    SwinMLP; contraction width H·s rides the MXU)."""
     B, H, W, C = x.shape
     cs = C // s
-    y = x.reshape(B, H, W, cs, s).transpose(0, 2, 3, 1, 4).reshape(B, W, cs, H * s)
-    y = nnf.linear(p, y)
-    y = y.reshape(B, W, cs, H, s).transpose(0, 3, 1, 2, 4).reshape(B, H, W, C)
-    return y
+    x5 = x.reshape(B, H, W, cs, s)
+    w4 = p["weight"].reshape(H, s, H, s)  # (out k, out l, in h, in s)
+    y = jnp.einsum("bhwcs,klhs->bkwcl", x5, w4, precision=nnf._prec())
+    y = y + p["bias"].reshape(H, s)[:, None, None, :]
+    return y.reshape(B, H, W, C)
 
 
 def _mix_w(p, x, s):
     B, H, W, C = x.shape
     cs = C // s
-    y = x.reshape(B, H, W, cs, s).transpose(0, 1, 3, 2, 4).reshape(B, H, cs, W * s)
-    y = nnf.linear(p, y)
-    y = y.reshape(B, H, cs, W, s).transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
-    return y
+    x5 = x.reshape(B, H, W, cs, s)
+    w4 = p["weight"].reshape(W, s, W, s)
+    y = jnp.einsum("bhwcs,klws->bhkcl", x5, w4, precision=nnf._prec())
+    y = y + p["bias"].reshape(W, s)[None, None, :, None, :]
+    return y.reshape(B, H, W, C)
 
 
 def split_attention(p, branches):
