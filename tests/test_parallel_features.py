@@ -111,3 +111,30 @@ def test_token_parallel_runner_mixer_forward_matches():
         got = np.asarray(sp(x))
     want = np.asarray(dense(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "factory,kw",
+    [
+        # BN/conv family (running stats are aux leaves, replicate)
+        ("WaveMLP", dict(model_name="T", image_size=32)),
+        # windowed family (folded 6D spatial einsum under SPMD)
+        ("SwinMLP", dict(img_size=32, patch_size=4, embed_dim=16,
+                         depths=[2, 2], num_heads=[2, 4], window_size=4,
+                         num_classes=8)),
+        # deformable family (static-offset masked matmuls)
+        ("CycleMLP_B1", dict(image_size=32, num_classes=8)),
+    ],
+)
+def test_shard_generalizes_across_families(factory, kw):
+    """Model.shard's DP+TP heuristic must hold exact forward agreement for
+    conv/BN, windowed, and deformable models — not just Linear/LN mixers."""
+    mesh = make_mesh(8, model_parallel=2)
+    model = getattr(jm, factory)(**kw)
+    x = np.random.default_rng(1).standard_normal((8, 3, 32, 32)).astype(
+        np.float32
+    )
+    want = np.asarray(model(x))
+    model.shard(mesh)
+    got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
