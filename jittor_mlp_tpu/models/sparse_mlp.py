@@ -63,6 +63,10 @@ def SparseMLP(
                 # sMLP block
                 y = nnf.batch_norm(bp["1"]["norm"], h, train=train)
                 sm = bp["1"]["fn"]["0"]
+                # NOTE: in-place einsum contraction ("oh,bhwc->bowc") was
+                # measured SLOWER here (3,878 → 3,234 img/s b64) — unlike
+                # Swin/Hire, the H/W contractions need the channel axis minor
+                # anyway, so the moveaxis pair lowers to one clean matmul
                 x_h = jnp.moveaxis(
                     nnf.linear(sm["proj_h"], jnp.moveaxis(y, 1, -1)), -1, 1
                 )
