@@ -20,6 +20,7 @@ from . import config
 from . import train_recipes
 from .core.model import Model
 from .serving import Predictor
+from . import deploy
 
 # Model factories — same export surface as the reference zoos
 # (/root/reference/models_pytorch/__init__.py:1-22 and models_jittor/__init__.py:1-19).
@@ -55,6 +56,7 @@ from .models.sequencer import Sequencer2D
 __all__ = [
     "Model",
     "Predictor",
+    "deploy",
     "config",
     "train_recipes",
     "gMLPForImageClassification",
