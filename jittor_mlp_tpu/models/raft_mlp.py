@@ -40,12 +40,28 @@ def _ff(p, x):
     return nnf.linear(p["3"], y)
 
 
+def _ln_axes(p, x, axes, wshape):
+    """layer_norm normalizing ``axes`` of x in place (no transpose round
+    trips — the relayout-folding pattern): same fp32-stats math as
+    nnf.layer_norm, with the (reshaped) weight/bias broadcast onto ``axes``."""
+    import jax
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=axes, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+    bshape = [1] * x.ndim
+    for a, s in zip(axes, wshape):
+        bshape[a] = s
+    y = y * p["weight"].reshape(bshape).astype(x.dtype)
+    y = y + p["bias"].reshape(bshape).astype(x.dtype)
+    return y
+
+
 def _token_block(bp, x, dp=None):
-    """TokenBlock on (B, K, o): LN over K (via transpose), FF over o, residual
-    wrapped in DropPath (raft_mlp.py:64-65)."""
-    y = jnp.swapaxes(x, 1, 2)
-    y = nnf.layer_norm(bp["norm"]["1"], y)
-    y = jnp.swapaxes(y, 1, 2)
+    """TokenBlock on (B, K, o): LN over K, FF over o, residual wrapped in
+    DropPath (raft_mlp.py:64-65). LN normalizes axis 1 in place."""
+    y = _ln_axes(bp["norm"]["1"], x, (1,), (x.shape[1],))
     return _dp(dp, _ff(bp["fn"], y)) + x
 
 
@@ -53,22 +69,22 @@ def _sep_token_block(bp, x, channels, dim, dp=None):
     """SpatiallySeparatedTokenBlock on (B, C*o1, o2): LN over C only."""
     B = x.shape[0]
     o1 = x.shape[1] // channels
-    y = x.reshape(B, channels, o1, dim).transpose(0, 2, 3, 1)  # B,o1,o2,C
-    y = nnf.layer_norm(bp["norm"]["1"], y)
-    y = y.transpose(0, 3, 1, 2).reshape(B, channels * o1, dim)
+    y4 = x.reshape(B, channels, o1, dim)
+    y = _ln_axes(bp["norm"]["1"], y4, (1,), (channels,))
+    y = y.reshape(B, channels * o1, dim)
     return _dp(dp, _ff(bp["fn"], y)) + x
 
 
 def _permuted_block(bp, x, spatial, channels, raft, dp=None):
     """PermutedBlock on (B, co*o1, r*spatial): LN over channels in (c1 c2)
-    order (raft_mlp.py:130-146), FF over r*spatial."""
+    order (raft_mlp.py:130-146), FF over r*spatial. The LN normalizes the
+    (co, r) axes of the 5D view jointly — the weight reshapes to (co, r),
+    so the old transpose→flat-LN→transpose round trip disappears."""
     B = x.shape[0]
     co = channels // raft
     o1 = x.shape[1] // co
-    y = x.reshape(B, co, o1, raft, spatial).transpose(0, 2, 4, 1, 3)
-    y = y.reshape(B, o1 * spatial, channels)  # channel order (c1 c2)=(co, r)
-    y = nnf.layer_norm(bp["norm"]["1"], y)
-    y = y.reshape(B, o1, spatial, co, raft).transpose(0, 3, 1, 4, 2)
+    y5 = x.reshape(B, co, o1, raft, spatial)
+    y = _ln_axes(bp["norm"]["1"], y5, (1, 3), (co, raft))
     y = y.reshape(B, co * o1, raft * spatial)
     return _dp(dp, _ff(bp["fn"], y)) + x
 
