@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="bf16 forward/backward, f32 master weights")
     ap.add_argument("--data-dir", default=None,
                     help="ImageFolder-style dataset root (default: synthetic)")
     ap.add_argument("--metrics", default=None,
@@ -75,7 +77,10 @@ def main():
     params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
     bsh = batch_sharding(mesh)
 
-    train_step = make_train_step(model.apply, optimizer)
+    train_step = make_train_step(
+        model.apply, optimizer,
+        compute_dtype=jnp.bfloat16 if args.mixed_precision else None,
+    )
 
     rng = jax.random.PRNGKey(0)
 
