@@ -162,6 +162,73 @@ def run_throughput(name, batch=32, iters=20, image_size=224):
         )
 
 
+def run_train_throughput(name, batch=32, iters=10, image_size=224):
+    """Mixed-precision training img/s: full fwd+bwd+adamw steps inside one
+    jitted fori_loop (f32 masters, bf16 compute — the production recipe),
+    timed t(N)−t(1) with a scalar fetch."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from jittor_mlp_tpu import config
+    from jittor_mlp_tpu.parallel.train import (
+        cast_floating,
+        cross_entropy_loss,
+        merge_params,
+        split_params,
+    )
+
+    ours = build_ours(name)
+    optimizer = optax.adamw(1e-4)
+    apply = ours.apply
+    train0, aux, treedef, n = split_params(ours.params)
+    opt0 = optimizer.init(train0)
+
+    with config.bf16_mode():
+
+        @jax.jit
+        def run(train, opt_state, steps):
+            x = jax.random.normal(
+                jax.random.PRNGKey(0), (batch, 3, image_size, image_size),
+                jnp.float32,
+            )
+            labels = jnp.zeros((batch,), jnp.int32)
+
+            def body(i, carry):
+                train, opt_state, acc = carry
+                rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
+
+                def loss_fn(train):
+                    full = merge_params(train, aux, treedef, n)
+                    full = cast_floating(full, jnp.bfloat16)
+                    xi = (x + acc * 1e-8).astype(jnp.bfloat16)
+                    logits = apply(full, xi, train=True, rng=rng)
+                    return cross_entropy_loss(logits, labels)
+
+                loss, grads = jax.value_and_grad(loss_fn)(train)
+                updates, opt_state = optimizer.update(grads, opt_state, train)
+                return optax.apply_updates(train, updates), opt_state, acc + loss
+
+            _, _, acc = lax.fori_loop(
+                0, steps, body, (train, opt_state, jnp.float32(0.0))
+            )
+            return acc
+
+        def timed(k):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = np.asarray(run(train0, opt0, k))
+                best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(v), f"{name}: non-finite training loss"
+            return best
+
+        timed(1)
+        return batch * (iters - 1) / (timed(iters) - timed(1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mlp_mixer")
@@ -172,6 +239,8 @@ def main():
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-throughput", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="also measure mixed-precision training img/s")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="append one JSON record per model to PATH "
                          "(machine-readable BENCHMARKS sweep)")
@@ -223,6 +292,19 @@ def main():
                       backend=jax.default_backend())
         print(f"throughput: {fps:,.0f} images/sec (batch {args.batch}, "
               f"{args.iters} iters, {jax.default_backend()})")
+
+    if args.train:
+        try:
+            tfps = run_train_throughput(
+                args.model, batch=args.batch, iters=max(args.iters // 2, 5),
+                image_size=args.image_size,
+            )
+            record.update(train_fps=tfps, train_batch=args.batch)
+            print(f"train: {tfps:,.0f} images/sec (mixed precision, "
+                  f"batch {args.batch})")
+        except Exception as e:  # OOM etc. — record, don't kill the sweep
+            record.update(train_error=str(e).split("\n")[0][:200])
+            print(f"train: ERROR {record['train_error']}")
 
     if args.json:
         import json

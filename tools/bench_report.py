@@ -41,6 +41,15 @@ def main():
         recs[r["model"]] = r  # last write wins
     rows = sorted(recs.values(), key=lambda r: r["model"])
 
+    # optional training sweep (compare.py --train --json train_sweep.jsonl)
+    train = {}
+    try:
+        for line in open("train_sweep.jsonl"):
+            r = json.loads(line)
+            train[r["model"]] = r
+    except FileNotFoundError:
+        pass
+
     # --skip-parity sweep records carry no param count; build on CPU to fill
     if any("params" not in r for r in rows if "error" not in r):
         import jax
@@ -62,16 +71,22 @@ def main():
         "table). Regenerate: `python compare.py --all --skip-parity --json",
         "bench_sweep.jsonl && python tools/bench_report.py`.",
         "",
-        "| model | params | images/sec | notes |",
-        "|---|---|---|---|",
+        "| model | params | images/sec | train img/s (mixed, b32) | notes |",
+        "|---|---|---|---|---|",
     ]
     for r in rows:
         if "error" in r:
-            out.append(f"| {r['model']} | — | ERROR | {r['error']} |")
+            out.append(f"| {r['model']} | — | ERROR | — | {r['error']} |")
             continue
         note = NOTES.get(r["model"], "")
+        t = train.get(r["model"], {})
+        tcell = (
+            f"{t['train_fps']:,.0f}" if "train_fps" in t
+            else ("ERR" if "train_error" in t else "—")
+        )
         out.append(
-            f"| {r['model']} | {r['params']:,} | {r['fps']:,.0f} | {note} |"
+            f"| {r['model']} | {r['params']:,} | {r['fps']:,.0f} "
+            f"| {tcell} | {note} |"
         )
     out += [
         "",

@@ -121,7 +121,9 @@ def main():
         t_sep16 = scalar_time(lambda x, wr, wi: sep_filter(x, wr.astype(jnp.bfloat16), wi.astype(jnp.bfloat16), mats16), x, wr, wi)
         print(f"{name} ({a}x{b}x{C}) b{B}: fft {t_fft*1e3:.3f} ms  sep-f32 {t_sep*1e3:.3f} ms  sep-bf16 {t_sep16*1e3:.3f} ms")
 
-    # circulant-path stages: is the separable matmul faster there too?
+    # small-grid stages through the production path (models/gfnet.py now
+    # uses the separable DFT matmuls at every grid size; the historical
+    # circulant numbers are recorded in docs/PERFORMANCE.md)
     from jittor_mlp_tpu.models.gfnet import global_filter
 
     for (a, b, C, name) in [(14, 14, 384, "stage2"), (7, 7, 768, "stage3")]:
@@ -129,13 +131,10 @@ def main():
         w = jnp.asarray(
             rng.standard_normal((a, b // 2 + 1, C, 2)), jnp.float32
         ) * 0.1
-        wr, wi = w[..., 0], w[..., 1]
-        mats16 = tuple(m.astype(jnp.bfloat16) for m in map(jnp.asarray, dft_mats(a, b)))
-        t_circ = scalar_time(
+        t = scalar_time(
             lambda x, w: global_filter({"complex_weight": w}, x.reshape(B, a * b, C), a, b).reshape(-1), x, w
         )
-        t_sep16 = scalar_time(lambda x, wr, wi: sep_filter(x, wr.astype(jnp.bfloat16), wi.astype(jnp.bfloat16), mats16), x, wr, wi)
-        print(f"{name} ({a}x{b}x{C}) b{B}: circulant {t_circ*1e3:.3f} ms  sep-bf16 {t_sep16*1e3:.3f} ms")
+        print(f"{name} ({a}x{b}x{C}) b{B}: production filter {t*1e3:.3f} ms")
 
 
 if __name__ == "__main__":
