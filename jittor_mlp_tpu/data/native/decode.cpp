@@ -59,11 +59,11 @@ void resize_rgb(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
             float wx = fx - x0;
             int x1 = std::min(x0 + 1, sw - 1);
             x0 = std::max(x0, 0);
-            const uint8_t* p00 = src + (y0 * sw + x0) * 3;
-            const uint8_t* p01 = src + (y0 * sw + x1) * 3;
-            const uint8_t* p10 = src + (y1 * sw + x0) * 3;
-            const uint8_t* p11 = src + (y1 * sw + x1) * 3;
-            uint8_t* d = dst + (y * dw + x) * 3;
+            const uint8_t* p00 = src + (static_cast<int64_t>(y0) * sw + x0) * 3;
+            const uint8_t* p01 = src + (static_cast<int64_t>(y0) * sw + x1) * 3;
+            const uint8_t* p10 = src + (static_cast<int64_t>(y1) * sw + x0) * 3;
+            const uint8_t* p11 = src + (static_cast<int64_t>(y1) * sw + x1) * 3;
+            uint8_t* d = dst + (static_cast<int64_t>(y) * dw + x) * 3;
             for (int c = 0; c < 3; ++c) {
                 float top = p00[c] + (p01[c] - p00[c]) * wx;
                 float bot = p10[c] + (p11[c] - p10[c]) * wx;
@@ -73,14 +73,24 @@ void resize_rgb(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     }
 }
 
+// Decoded images larger than this are sent to the PIL fallback instead of
+// risking a multi-GB allocation from a (possibly malicious) header.
+constexpr int64_t kMaxPixels = 64LL * 1024 * 1024;
+
+// Python's round() is half-to-even; match it so native and PIL-fallback
+// geometry agree on exact-.5 scaled dimensions.
+inline int64_t round_half_even(double v) {
+    return static_cast<int64_t>(std::nearbyint(v));  // FE_TONEAREST default
+}
+
 // Shorter-side scale to s (never below), then center-crop s×s — the exact
 // geometry of ImageFolderDataset.get: scale = s/min(w,h), dims rounded,
 // floored at s.
 void finish_to_square(const uint8_t* rgb, int h, int w, uint8_t* out,
                       int64_t s) {
     double scale = static_cast<double>(s) / std::min(h, w);
-    int nh = std::max<int64_t>(s, std::lround(h * scale));
-    int nw = std::max<int64_t>(s, std::lround(w * scale));
+    int nh = std::max<int64_t>(s, round_half_even(h * scale));
+    int nw = std::max<int64_t>(s, round_half_even(w * scale));
     std::vector<uint8_t> tmp;
     const uint8_t* r = rgb;
     if (nh != h || nw != w) {
@@ -103,6 +113,10 @@ int decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out, int64_t s) {
     ci.err = jpeg_std_error(&err.pub);
     err.pub.error_exit = jerr_exit;
     err.pub.emit_message = jerr_silent;
+    // declared before setjmp so the longjmp error path (e.g. a JPEG
+    // truncated mid-scan) lands with buf still in scope and its destructor
+    // running on the return-1 path — no jump over initialization
+    std::vector<uint8_t> buf;
     if (setjmp(err.jb)) {
         jpeg_destroy_decompress(&ci);
         return 1;
@@ -120,12 +134,14 @@ int decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out, int64_t s) {
     ci.scale_num = 1;
     ci.scale_denom = denom;
     jpeg_start_decompress(&ci);
-    if (ci.output_components != 3) {
+    if (ci.output_components != 3
+        || static_cast<int64_t>(ci.output_width) * ci.output_height
+           > kMaxPixels) {
         jpeg_destroy_decompress(&ci);
-        return 1;  // CMYK etc. → PIL fallback
+        return 1;  // CMYK / absurd header dims → PIL fallback
     }
     int w = ci.output_width, h = ci.output_height;
-    std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
+    buf.resize(static_cast<size_t>(h) * w * 3);
     while (ci.output_scanline < ci.output_height) {
         JSAMPROW row = buf.data() + static_cast<size_t>(ci.output_scanline) * w * 3;
         jpeg_read_scanlines(&ci, &row, 1);
@@ -143,6 +159,14 @@ int decode_png_img(const uint8_t* data, int64_t len, uint8_t* out, int64_t s) {
     if (!png_image_begin_read_from_memory(&im, data,
                                           static_cast<size_t>(len)))
         return 1;
+    // Alpha PNGs: libpng's simplified API would COMPOSITE alpha while the
+    // PIL path's convert('RGB') drops it — different pixels for the same
+    // file. Punt those (and absurd dims) to the PIL fallback.
+    if ((im.format & PNG_FORMAT_FLAG_ALPHA)
+        || static_cast<int64_t>(im.width) * im.height > kMaxPixels) {
+        png_image_free(&im);
+        return 1;
+    }
     im.format = PNG_FORMAT_RGB;
     std::vector<uint8_t> buf(PNG_IMAGE_SIZE(im));
     if (!png_image_finish_read(&im, nullptr, buf.data(), 0, nullptr)) {
@@ -153,13 +177,20 @@ int decode_png_img(const uint8_t* data, int64_t len, uint8_t* out, int64_t s) {
     return 0;
 }
 
-int decode_one(const uint8_t* data, int64_t len, uint8_t* out, int64_t s) {
-    if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8)
-        return decode_jpeg(data, len, out, s);
-    if (len >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' &&
-        data[3] == 'G')
-        return decode_png_img(data, len, out, s);
-    return 2;  // unsupported container → PIL fallback
+int decode_one(const uint8_t* data, int64_t len, uint8_t* out,
+               int64_t s) noexcept {
+    // no exception may escape into the std::thread workers (std::terminate
+    // would kill the whole process); allocation failure = PIL fallback
+    try {
+        if (len >= 3 && data[0] == 0xFF && data[1] == 0xD8)
+            return decode_jpeg(data, len, out, s);
+        if (len >= 8 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N'
+            && data[3] == 'G')
+            return decode_png_img(data, len, out, s);
+        return 2;  // unsupported container → PIL fallback
+    } catch (...) {
+        return 3;
+    }
 }
 
 }  // namespace

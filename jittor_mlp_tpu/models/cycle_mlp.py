@@ -117,7 +117,15 @@ def CycleNet(
     def _structure(nested):
         stages = []
         for i in range(n_stages):
-            entry = {"blocks": pytree.stack_numbered(nested["network"][str(net_idx[i])])}
+            blocks_in = nested["network"][str(net_idx[i])]
+            # the offset buffers live in init_sd only for the torch-export
+            # roundtrip; keep them OUT of params (the forward recomputes the
+            # offsets statically) so they are neither trainable (AdamW decay
+            # would corrupt the export template) nor counted as parameters
+            for j in blocks_in.values():
+                for sfc in ("sfc_h", "sfc_w"):
+                    j["attn"][sfc].pop("offset", None)
+            entry = {"blocks": pytree.stack_numbered(blocks_in)}
             entry["blocks"]["_dpr"] = jnp.asarray(
                 _np.array([_block_dpr(i, j) for j in range(layers[i])], _np.float32)
             )

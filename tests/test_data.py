@@ -208,3 +208,25 @@ def test_native_decode_fallback_containers(tmp_path):
     assert batch.shape == (2, 24, 24, 3)
     ref, _ = ds.get(0)
     np.testing.assert_array_equal(batch[0], ref)
+
+
+def test_native_decode_rgba_falls_back_to_pil(tmp_path):
+    """Alpha PNGs decode differently under libpng's compositing vs PIL's
+    convert('RGB') (which drops alpha) — the native path must punt them to
+    the PIL fallback so both paths yield identical pixels."""
+    from PIL import Image
+
+    from jittor_mlp_tpu.data import ImageFolderDataset
+
+    d = tmp_path / "c"
+    d.mkdir()
+    rgb = _smooth_img(48, 40, 3)
+    rgba = np.concatenate(
+        [rgb, np.full((48, 40, 1), 128, np.uint8)], axis=-1
+    )
+    Image.fromarray(rgba, "RGBA").save(d / "a.png")
+
+    ds = ImageFolderDataset(str(tmp_path), decode_size=24)
+    batch, _ = ds.get_batch([0])
+    ref, _ = ds.get(0)
+    np.testing.assert_array_equal(batch[0], ref)
