@@ -109,6 +109,20 @@ def main():
         want = np.asarray(jax.jit(fft_filter)(x, wr, wi))
     print("sep-vs-fft max abs:", np.abs(got - want).max())
 
+    # also pin the PRODUCTION path (models/gfnet.global_filter) to the FFT,
+    # so this probe catches drift between the harness copy and the model
+    from jittor_mlp_tpu.models.gfnet import global_filter
+    from jittor_mlp_tpu import config
+
+    w2 = jnp.stack([wr, wi], axis=-1)
+    with config.parity_mode():
+        prod = np.asarray(
+            jax.jit(lambda x, w: global_filter(
+                {"complex_weight": w}, x.reshape(x.shape[0], a * b, C), a, b
+            ))(x, w2)
+        ).reshape(want.shape)
+    print("production-vs-fft max abs:", np.abs(prod - want).max())
+
     # stage-shaped timings (GFNet-H-B: dims 96/192/384/768, sizes 56/28/14/7)
     for (a, b, C, name) in [(56, 56, 96, "stage0"), (28, 28, 192, "stage1")]:
         x = jnp.asarray(rng.standard_normal((B, a, b, C)), jnp.bfloat16)
