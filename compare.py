@@ -165,7 +165,19 @@ def run_throughput(name, batch=32, iters=20, image_size=224):
 def run_train_throughput(name, batch=32, iters=10, image_size=224):
     """Mixed-precision training img/s: full fwd+bwd+adamw steps inside one
     jitted fori_loop (f32 masters, bf16 compute — the production recipe),
-    timed t(N)−t(1) with a scalar fetch."""
+    timed t(N)−t(1) with a scalar fetch. Models whose backward doesn't fit
+    HBM retry under config.remat_mode() (zoo-wide block checkpointing);
+    returns (img_s, remat_used)."""
+    from jittor_mlp_tpu import config as _cfg
+
+    try:
+        return _run_train_throughput(name, batch, iters, image_size), False
+    except Exception:
+        with _cfg.remat_mode():
+            return _run_train_throughput(name, batch, iters, image_size), True
+
+
+def _run_train_throughput(name, batch, iters, image_size):
     import optax
 
     import jax
@@ -295,13 +307,15 @@ def main():
 
     if args.train:
         try:
-            tfps = run_train_throughput(
+            tfps, remat = run_train_throughput(
                 args.model, batch=args.batch, iters=max(args.iters // 2, 5),
                 image_size=args.image_size,
             )
-            record.update(train_fps=tfps, train_batch=args.batch)
+            record.update(train_fps=tfps, train_batch=args.batch,
+                          train_remat=remat)
             print(f"train: {tfps:,.0f} images/sec (mixed precision, "
-                  f"batch {args.batch})")
+                  f"batch {args.batch}"
+                  f"{', block remat' if remat else ''})")
         except Exception as e:  # OOM etc. — record, don't kill the sweep
             record.update(train_error=str(e).split("\n")[0][:200])
             print(f"train: ERROR {record['train_error']}")

@@ -16,6 +16,26 @@ import jax.numpy as jnp
 
 matmul_precision = None  # None → jax default; or 'highest' for parity on TPU
 compute_dtype = jnp.float32
+remat = False  # wrap every scanned block in jax.checkpoint (training memory)
+
+
+@contextmanager
+def remat_mode():
+    """Activation checkpointing on every scanned block stack, zoo-wide.
+
+    The per-block activations of a deep model's backward often exceed HBM
+    (Mixer-B/16 b128 f32 needs 25.6 GB of 15.75 GB); under this context any
+    model built OR traced inside recomputes each block in the backward
+    instead — the trade the reference exposes per-model via its
+    ``use_checkpoint`` flags (SURVEY §5), available here for every factory
+    because all of them run their blocks through nnf.scan_blocks*."""
+    global remat
+    old = remat
+    remat = True
+    try:
+        yield
+    finally:
+        remat = old
 
 
 @contextmanager

@@ -302,8 +302,9 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     reference's ``use_checkpoint`` torch.utils.checkpoint flags
     (as_mlp.py:276-277, swin_mlp.py:275-276, ms_mlp.py:179-180,
     repmlpnet.py:252-259): activations recompute in the backward pass.
+    ``config.remat_mode()`` turns it on zoo-wide at trace time.
     """
-    fn = jax.checkpoint(block_fn) if remat else block_fn
+    fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
 
     if _FULL_UNROLL:
         # XLA cost analysis counts a scan body ONCE regardless of trip count;
@@ -353,7 +354,7 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
     eval paths trace without random ops.
     """
     depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    fn = jax.checkpoint(block_fn) if remat else block_fn
+    fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
     if _FULL_UNROLL:
         unroll = int(depth)  # see scan_blocks: exact FLOPs accounting
 

@@ -354,3 +354,40 @@ def test_pipeline_parallel_mixer_blocks():
     with mesh:
         got = np.asarray(jax.jit(pipe)(sharded, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_remat_mode_zoo_wide():
+    """config.remat_mode() checkpoints every scanned block at trace time:
+    values and grads must match the plain path exactly."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import jittor_mlp_tpu as jm
+    from jittor_mlp_tpu import config
+    from jittor_mlp_tpu.parallel.train import (
+        cross_entropy_loss, merge_params, split_params,
+    )
+
+    model = jm.gMLPForImageClassification(
+        image_size=16, patch_size=4, d_model=32, d_ffn=64, depth=2,
+        num_classes=4, use_pallas=False,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 3, 16, 16)), jnp.float32
+    )
+    labels = jnp.zeros((4,), jnp.int32)
+    train, aux, treedef, n = split_params(model.params)
+
+    def loss(train):
+        full = merge_params(train, aux, treedef, n)
+        return cross_entropy_loss(model.apply(full, x), labels)
+
+    l0, g0 = jax.value_and_grad(loss)(train)
+    with config.remat_mode():
+        l1, g1 = jax.jit(jax.value_and_grad(loss))(train)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)

@@ -81,7 +81,9 @@ def main():
         note = NOTES.get(r["model"], "")
         t = train.get(r["model"], {})
         tcell = (
-            f"{t['train_fps']:,.0f}" if "train_fps" in t
+            f"{t['train_fps']:,.0f}"
+            + (" (remat)" if t.get("train_remat") else "")
+            if "train_fps" in t
             else ("ERR" if "train_error" in t else "—")
         )
         out.append(
