@@ -42,11 +42,14 @@ def _bn_nchw_grouped(p, x, train=False, eps=1e-5):
         if nnf._bn_sink is not None and "_bn_id" in p:
             nnf._bn_sink.append((p["_bn_id"], mean, var))
     else:
-        mean = p["running_mean"]
-        var = p["running_var"]
-    scale = p["weight"] / jnp.sqrt(var + eps)
-    shift = p["bias"] - mean * scale
-    return x * scale[None, :, None, None] + shift[None, :, None, None]
+        mean = p["running_mean"].astype(jnp.float32)
+        var = p["running_var"].astype(jnp.float32)
+    # stats in f32, output in x.dtype (a bf16 x must stay bf16 — the block
+    # runs under lax.scan, where an f32-upcast output breaks the carry)
+    scale = p["weight"].astype(jnp.float32) / jnp.sqrt(var + eps)
+    shift = p["bias"].astype(jnp.float32) - mean * scale
+    return (x * scale.astype(x.dtype)[None, :, None, None]
+            + shift.astype(x.dtype)[None, :, None, None])
 
 
 def _repmlp_block(bp, x, C, S, h, w, reparam_conv_k, deploy, train):
