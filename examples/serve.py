@@ -1,0 +1,101 @@
+"""Minimal HTTP classification server over the serving stack (stdlib only).
+
+POST raw JPEG/PNG bytes to /classify and get top-k JSON back. The pieces:
+the native decoder (data/native/decode.cpp) turns the upload into a square
+uint8 batch on the host, Predictor (serving.py) runs the padded fixed-shape
+bf16 forward with on-device preprocessing and top-k, so only (B, k) scalars
+cross the device link.
+
+    python examples/serve.py --model convmlp_s --pretrained --port 8000 &
+    curl -s --data-binary @cat.jpg localhost:8000/classify | jq .
+
+For production-style deployment without model code on the server, pair
+``jm.deploy.save_exported`` blobs with this same loop (see docs/USAGE.md).
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="MLPMixerForImageClassification")
+    ap.add_argument("--pretrained", action="store_true")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--top-k", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import jittor_mlp_tpu as jm
+    from jittor_mlp_tpu import config
+    from jittor_mlp_tpu.data.loader import decode_available, decode_batch
+
+    config.enable_compile_cache()
+
+    kwargs = {"pretrained": True} if args.pretrained else {}
+    model = getattr(jm, args.model)(**kwargs)
+    pred = jm.Predictor(
+        model, batch_size=args.batch, image_size=args.image_size,
+        top_k=args.top_k,
+    ).warmup()
+    print(f"{args.model} ready on :{args.port} "
+          f"(native decode: {decode_available()})")
+
+    def decode(body):
+        if decode_available():
+            imgs, fail = decode_batch([body], args.image_size)
+            if not fail[0]:
+                return imgs
+        from PIL import Image  # fallback for containers the native path skips
+
+        with Image.open(io.BytesIO(body)) as im:
+            im = im.convert("RGB").resize((args.image_size, args.image_size))
+            return np.asarray(im, np.uint8)[None]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/classify":
+                self.send_error(404)
+                return
+            try:
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                labels, probs = pred.predict(decode(body))
+                out = {
+                    "top_k": [
+                        {"label": int(l), "prob": float(p)}
+                        for l, p in zip(labels[0], probs[0])
+                    ]
+                }
+                blob = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+            except Exception as e:
+                self.send_error(400, str(e))
+
+        def log_message(self, *a):
+            pass
+
+    HTTPServer(("127.0.0.1", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
