@@ -172,7 +172,15 @@ def run_train_throughput(name, batch=32, iters=10, image_size=224):
 
     try:
         return _run_train_throughput(name, batch, iters, image_size), False
-    except Exception:
+    except Exception as e:
+        # retry ONLY memory failures — anything else is a real bug whose
+        # original error must surface, not a mislabeled '(remat)' rerun
+        msg = str(e)
+        if not any(k in msg for k in (
+            "RESOURCE_EXHAUSTED", "hbm", "Ran out of memory",
+            "tpu_compile_helper",
+        )):
+            raise
         with _cfg.remat_mode():
             return _run_train_throughput(name, batch, iters, image_size), True
 
@@ -238,7 +246,12 @@ def _run_train_throughput(name, batch, iters, image_size):
             return best
 
         timed(1)
-        return batch * (iters - 1) / (timed(iters) - timed(1))
+        dt = timed(iters) - timed(1)
+        if dt <= 0:  # per-step time below dispatch noise: widen the window
+            iters *= 4
+            dt = timed(iters) - timed(1)
+        assert dt > 0, f"{name}: unstable train timing (dt={dt:.4f}s)"
+        return batch * (iters - 1) / dt
 
 
 def main():

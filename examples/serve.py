@@ -62,11 +62,23 @@ def main():
             imgs, fail = decode_batch([body], args.image_size)
             if not fail[0]:
                 return imgs
-        from PIL import Image  # fallback for containers the native path skips
+        # PIL fallback with the SAME geometry as the native path (shorter-
+        # side resize + center crop — ImageFolderDataset.get): both decode
+        # paths must feed identical pixels for identical uploads
+        from PIL import Image
 
+        s = args.image_size
         with Image.open(io.BytesIO(body)) as im:
-            im = im.convert("RGB").resize((args.image_size, args.image_size))
-            return np.asarray(im, np.uint8)[None]
+            im = im.convert("RGB")
+            w, h = im.size
+            scale = s / min(w, h)
+            im = im.resize(
+                (max(s, round(w * scale)), max(s, round(h * scale)))
+            )
+            arr = np.asarray(im, np.uint8)
+        top = (arr.shape[0] - s) // 2
+        left = (arr.shape[1] - s) // 2
+        return arr[None, top:top + s, left:left + s]
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -89,7 +101,11 @@ def main():
                 self.end_headers()
                 self.wfile.write(blob)
             except Exception as e:
-                self.send_error(400, str(e))
+                # status line must stay single-line: exception text can be
+                # multi-line (XLA) and derives from request bytes — no
+                # response splitting
+                msg = str(e).splitlines()[0][:120] if str(e) else "bad request"
+                self.send_error(400, "bad request", msg)
 
         def log_message(self, *a):
             pass

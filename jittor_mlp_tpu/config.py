@@ -28,7 +28,13 @@ def remat_mode():
     model built OR traced inside recomputes each block in the backward
     instead — the trade the reference exposes per-model via its
     ``use_checkpoint`` flags (SURVEY §5), available here for every factory
-    because all of them run their blocks through nnf.scan_blocks*."""
+    because all of them run their blocks through nnf.scan_blocks*.
+
+    The flag is read at TRACE time. ``Model.__call__`` keys its jit cache on
+    it, so calling a model inside the context always takes effect; for a
+    hand-jitted step (e.g. ``make_train_step``), the FIRST call of the jitted
+    function must happen inside the context — an already-compiled executable
+    is not retraced by entering it (rebuild the step instead)."""
     global remat
     old = remat
     remat = True

@@ -128,7 +128,8 @@ class Model:
     # -- forward --------------------------------------------------------------
 
     def _jitted(self):
-        key = (config.compute_dtype, config.matmul_precision, self.training)
+        key = (config.compute_dtype, config.matmul_precision, config.remat,
+               self.training)
         fn = self._jit_cache.get(key)
         if fn is None:
             train = self.training

@@ -21,8 +21,6 @@ compiler wants; pair with serving.Predictor-style pad-to-batch feeding).
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,7 @@ per-model sweep. Usage: python tools/bench_report.py [bench_sweep.jsonl]
 """
 
 import json
+import os
 import sys
 
 NOTES = {
@@ -41,10 +42,13 @@ def main():
         recs[r["model"]] = r  # last write wins
     rows = sorted(recs.values(), key=lambda r: r["model"])
 
-    # optional training sweep (compare.py --train --json train_sweep.jsonl)
+    # optional training sweep (compare.py --train --json train_sweep.jsonl),
+    # expected next to the main sweep file
     train = {}
+    tpath = os.path.join(os.path.dirname(os.path.abspath(path)),
+                         "train_sweep.jsonl")
     try:
-        for line in open("train_sweep.jsonl"):
+        for line in open(tpath):
             r = json.loads(line)
             train[r["model"]] = r
     except FileNotFoundError:
