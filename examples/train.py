@@ -42,6 +42,10 @@ def main():
                     help="ImageFolder-style dataset root (default: synthetic)")
     ap.add_argument("--metrics", default=None,
                     help="append per-step JSON metrics to this .jsonl file")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="orbax train-state dir: save every --ckpt-every "
+                         "steps and auto-resume from it (preemption-safe)")
+    ap.add_argument("--ckpt-every", type=int, default=25)
     args = ap.parse_args()
 
     import jax
@@ -134,10 +138,28 @@ def main():
             args.metrics, extra={"model": args.model, "batch": args.batch}
         )
 
+    start = 0
+    ckpt_path = None
+    if args.ckpt_dir:
+        import os as _os
+
+        from jittor_mlp_tpu.utils.serialization import (
+            restore_train_state,
+            save_train_state,
+        )
+
+        ckpt_path = _os.path.join(_os.path.abspath(args.ckpt_dir), "latest")
+        if _os.path.isdir(ckpt_path):
+            params, opt_state, start = restore_train_state(
+                ckpt_path, params, opt_state
+            )
+            start = int(start)
+            print(f"resumed from {ckpt_path} at step {start}")
+
     t0 = time.time()
     t_step = time.time()
     with mesh:
-        for step in range(args.steps):
+        for step in range(start, args.steps):
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, make_batch(step), sub
@@ -149,6 +171,9 @@ def main():
                 t_step = now
             if step % 10 == 0 or step == args.steps - 1:
                 print(f"step {step:4d}  loss {float(loss):.4f}")
+            if ckpt_path and ((step + 1) % args.ckpt_every == 0
+                              or step == args.steps - 1):
+                save_train_state(ckpt_path, params, opt_state, step + 1)
     if logger is not None:
         logger.flush()
     print(f"{args.steps} steps in {time.time()-t0:.1f}s on {n_dev} device(s)")
