@@ -8,8 +8,9 @@ gamma (ln 89-104). GFNet is flat ViT-style with pos_embed (ln 147-261);
 GFNetPyramid stacks 4 stages with DownLayer stride-2 convs and LayerScale
 blocks (ln 264-389). LN eps 1e-6.
 
-The cuFFT dependency ("no fft in Jittor", README.md:174-177) maps to XLA's
-native FFT via jnp.fft.rfft2/irfft2.
+The cuFFT dependency ("no fft in Jittor", README.md:174-177) maps to per-axis
+DFT matmuls on the MXU (global_filter below) — XLA's native TPU FFT measured
+6.5-10x slower at the pyramid's 56²/28² grids.
 """
 
 from __future__ import annotations
