@@ -102,13 +102,14 @@ def main():
         it = iter(BatchIterator(ds, args.batch))
 
         def make_batch(step):
-            nonlocal it, rng
+            nonlocal it
             try:
                 raw = next(it)
             except StopIteration:
                 it = iter(BatchIterator(ds, args.batch, seed=step))
                 raw = next(it)
-            rng, sub = jax.random.split(rng)
+            # step-derived key: augmentation stream is resume-deterministic
+            sub = jax.random.fold_in(rng, 1_000_000 + step)
             return {
                 "image": jax.device_put(augment(sub, raw["image"]), bsh["image"]),
                 "label": jax.device_put(jnp.asarray(raw["label"]), bsh["label"]),
@@ -121,8 +122,9 @@ def main():
         )
 
         def make_batch(step):
-            labels = rng_np.integers(0, args.classes, args.batch)
-            imgs = protos[labels] + 0.5 * rng_np.standard_normal(
+            rs = np.random.default_rng(1000 + step)  # resume-deterministic
+            labels = rs.integers(0, args.classes, args.batch)
+            imgs = protos[labels] + 0.5 * rs.standard_normal(
                 (args.batch, 3, args.image_size, args.image_size)
             )
             return {
@@ -139,28 +141,53 @@ def main():
         )
 
     start = 0
-    ckpt_path = None
+    ckpt_dir = None
     if args.ckpt_dir:
         import os as _os
+        import shutil as _shutil
 
         from jittor_mlp_tpu.utils.serialization import (
             restore_train_state,
             save_train_state,
         )
 
-        ckpt_path = _os.path.join(_os.path.abspath(args.ckpt_dir), "latest")
-        if _os.path.isdir(ckpt_path):
+        if args.ckpt_every < 1:
+            raise SystemExit("--ckpt-every must be >= 1")
+        ckpt_dir = _os.path.abspath(args.ckpt_dir)
+        _os.makedirs(ckpt_dir, exist_ok=True)
+
+        def _step_dirs():
+            return sorted(
+                d for d in _os.listdir(ckpt_dir) if d.startswith("step_")
+            )
+
+        have = _step_dirs()
+        if have:
+            latest = _os.path.join(ckpt_dir, have[-1])
             params, opt_state, start = restore_train_state(
-                ckpt_path, params, opt_state
+                latest, params, opt_state
             )
             start = int(start)
-            print(f"resumed from {ckpt_path} at step {start}")
+            print(f"resumed from {latest} at step {start}")
+
+        def save_ckpt(step1):
+            # step-numbered dirs: orbax finalizes each atomically, and the
+            # previous checkpoint is only pruned AFTER the new one exists —
+            # a preemption mid-save can never destroy the only checkpoint
+            save_train_state(
+                _os.path.join(ckpt_dir, f"step_{step1:08d}"),
+                params, opt_state, step1,
+            )
+            for d in _step_dirs()[:-2]:
+                _shutil.rmtree(_os.path.join(ckpt_dir, d), ignore_errors=True)
 
     t0 = time.time()
     t_step = time.time()
     with mesh:
         for step in range(start, args.steps):
-            rng, sub = jax.random.split(rng)
+            # per-step derivation (not split-chaining) so a resumed run's
+            # dropout/augment stream is identical to an uninterrupted one
+            sub = jax.random.fold_in(rng, step)
             params, opt_state, loss = train_step(
                 params, opt_state, make_batch(step), sub
             )
@@ -171,12 +198,13 @@ def main():
                 t_step = now
             if step % 10 == 0 or step == args.steps - 1:
                 print(f"step {step:4d}  loss {float(loss):.4f}")
-            if ckpt_path and ((step + 1) % args.ckpt_every == 0
-                              or step == args.steps - 1):
-                save_train_state(ckpt_path, params, opt_state, step + 1)
+            if ckpt_dir and ((step + 1) % args.ckpt_every == 0
+                             or step == args.steps - 1):
+                save_ckpt(step + 1)
     if logger is not None:
         logger.flush()
-    print(f"{args.steps} steps in {time.time()-t0:.1f}s on {n_dev} device(s)")
+    print(f"{args.steps - start} steps in {time.time()-t0:.1f}s "
+          f"on {n_dev} device(s)")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ CASES = sorted(
 )
 
 
+@pytest.mark.slow  # full-size default builds (the repo's fast/slow split)
 @pytest.mark.parametrize("name,cfg", CASES, ids=[c[0] for c in CASES])
 def test_default_construction_matches_reference(name, cfg):
     ref_module, ref_class, ours_class, _ = cfg
@@ -27,7 +28,10 @@ def test_default_construction_matches_reference(name, cfg):
     try:
         ref = ref_model(ref_module, ref_class)
     except TypeError:
-        pytest.skip(f"{ref_class} has required constructor args")
+        # reference requires arguments — ours must too (two-sided)
+        with pytest.raises(TypeError):
+            getattr(jm, ours_class)()
+        return
     except AssertionError:
         # the reference's own defaults are invalid (e.g. ViP: 256 % 14);
         # API parity = we reject the same construction
