@@ -173,12 +173,14 @@ def run_train_throughput(name, batch=32, iters=10, image_size=224):
     try:
         return _run_train_throughput(name, batch, iters, image_size), False
     except Exception as e:
-        # retry ONLY memory failures — anything else is a real bug whose
-        # original error must surface, not a mislabeled '(remat)' rerun
+        # retry ONLY explicit memory failures — anything else is a real bug
+        # whose original error must surface, not a mislabeled '(remat)' rerun
+        # (a generic compile-helper match here once relabeled compile bugs
+        # as OOM; the original exception still chains via __context__ if the
+        # remat retry fails too)
         msg = str(e)
         if not any(k in msg for k in (
-            "RESOURCE_EXHAUSTED", "hbm", "Ran out of memory",
-            "tpu_compile_helper",
+            "RESOURCE_EXHAUSTED", "hbm", "HBM", "Ran out of memory",
         )):
             raise
         with _cfg.remat_mode():

@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def load_weights(model, path):
+def load_weights(model, path, bf16=False):
     if path.endswith(".pth") or path.endswith(".pt"):
         import torch
 
@@ -32,9 +32,14 @@ def load_weights(model, path):
             sd = sd["model"]
         model.load_torch_state_dict(sd)
     elif path.endswith(".int8.npz"):
+        import jax.numpy as jnp
+
         from jittor_mlp_tpu.quant import load_quantized
 
-        load_quantized(model, path)
+        # dequantize to the dtype the eval path actually runs in — without
+        # this an f32 eval silently ran on bf16 weights
+        load_quantized(model, path,
+                       dtype=jnp.bfloat16 if bf16 else jnp.float32)
     else:
         from jittor_mlp_tpu.utils.serialization import load_params
 
@@ -75,7 +80,7 @@ def main():
                       depth=6, num_classes=args.classes)
     model = getattr(jm, args.model)(**kwargs).eval()
     if args.checkpoint:
-        load_weights(model, args.checkpoint)
+        load_weights(model, args.checkpoint, bf16=args.bf16)
     if args.bf16:
         model.to_bf16()
     print(f"{args.model}: {model.param_count():,} params")

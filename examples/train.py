@@ -99,15 +99,24 @@ def main():
             args.data_dir, decode_size=args.image_size + args.image_size // 8
         )
         augment = make_augment(image_size=args.image_size)
-        it = iter(BatchIterator(ds, args.batch))
+        # epoch/position derive from the step (seed=epoch reshuffle), so a
+        # resumed run consumes exactly the batches an uninterrupted run
+        # would — the iterator fast-forwards to the resume position instead
+        # of restarting the stream at epoch 0
+        bpe = max(len(ds) // args.batch, 1)
+        stream = {"epoch": -1, "it": None, "pos": 0}
 
         def make_batch(step):
-            nonlocal it
-            try:
-                raw = next(it)
-            except StopIteration:
-                it = iter(BatchIterator(ds, args.batch, seed=step))
-                raw = next(it)
+            epoch, pos = divmod(step, bpe)
+            if stream["epoch"] != epoch or stream["pos"] > pos:
+                stream["epoch"] = epoch
+                stream["it"] = iter(BatchIterator(ds, args.batch, seed=epoch))
+                stream["pos"] = 0
+            while stream["pos"] < pos:  # resume: skip already-consumed batches
+                next(stream["it"])
+                stream["pos"] += 1
+            raw = next(stream["it"])
+            stream["pos"] += 1
             # step-derived key: augmentation stream is resume-deterministic
             sub = jax.random.fold_in(rng, 1_000_000 + step)
             return {

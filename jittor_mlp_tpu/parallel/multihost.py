@@ -29,18 +29,54 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import make_mesh
 
 
+_POD_ENV_MARKERS = (
+    # explicit-coordinator environments: when any of these is set, a failed
+    # initialize() is a real bring-up error
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+)
+
+
+def _looks_like_pod():
+    import os
+
+    if any(os.environ.get(m) for m in _POD_ENV_MARKERS):
+        return True
+    # multi-host TPU VMs list every worker; single-host VMs (and the axon
+    # tunnel) set a single hostname, which is not a pod
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
+
+
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Join the multi-process JAX runtime.
 
     On TPU pods the three arguments are discovered from the metadata server,
     so a bare ``initialize()`` is correct; off-pod (single process, no
-    coordinator configured) this is a no-op. Safe to call more than once."""
+    coordinator configured) this is a no-op. Safe to call more than once.
+
+    A failed auto-discovery is only treated as "off-pod" when no pod
+    environment markers are present; on a host that IS part of a pod a
+    swallowed transient coordinator failure would silently degrade to N
+    independent single-host runs (no cross-host gradient sync), so there
+    the exception propagates."""
     if jax.process_count() > 1:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
         except Exception:
+            if _looks_like_pod():
+                raise  # real pod bring-up failure — do not train unsynced
             return  # single-process environment — nothing to join
     else:
         jax.distributed.initialize(

@@ -30,9 +30,19 @@ _SKEY = "__q_scale__"
 
 
 def _quantize_leaf(x):
-    """Symmetric per-output-channel (axis 0) int8. Returns a marker dict."""
+    """Symmetric per-channel int8. Returns a marker dict.
+
+    Scale granularity: the leading TWO axes when the remaining block still
+    amortizes the f32 scale (≥8 weights per scale), else axis 0 only. The
+    two-axis case covers depth-stacked scanned-block leaves (L, O, I...) —
+    most of the zoo — which would otherwise degrade to per-layer whole-matrix
+    scaling and break the per-channel error bound; (O, I, 1, 1) pointwise
+    convs stay per-O so the scales never outweigh the int8 payload."""
     xf = jnp.asarray(x, jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=tuple(range(1, xf.ndim)), keepdims=True)
+    n_scale = 2 if xf.ndim >= 3 and int(np.prod(xf.shape[2:])) >= 8 else 1
+    absmax = jnp.max(
+        jnp.abs(xf), axis=tuple(range(n_scale, xf.ndim)), keepdims=True
+    )
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return {_QKEY: q, _SKEY: scale.astype(jnp.float32)}

@@ -66,3 +66,21 @@ def test_pod_mesh_feeds_train_step():
     with mesh:
         _, _, loss = step(params, opt_state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_initialize_raises_on_pod_markers(monkeypatch):
+    """With a coordinator address configured, a failed join must surface —
+    swallowing it would silently train N unsynced single-host replicas."""
+    import pytest
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert multihost._looks_like_pod()
+    with pytest.raises(Exception):
+        multihost.initialize()
+
+
+def test_single_hostname_is_not_a_pod(monkeypatch):
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not multihost._looks_like_pod()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert multihost._looks_like_pod()

@@ -105,3 +105,25 @@ def test_predictor_int8_weights_smoke():
     labels, probs = p.predict(imgs)
     assert labels.shape == (2, 3) and probs.shape == (2, 3)
     assert np.isfinite(probs).all()
+
+
+def test_stacked_leaves_get_per_layer_channel_scales():
+    """Depth-stacked scanned-block leaves (L, O, I) must quantize with
+    per-(layer, channel) scales, not one scale per whole layer matrix —
+    otherwise one outlier channel inflates every channel's step size."""
+    from jittor_mlp_tpu.quant import _QKEY, _SKEY, quantize_tree
+
+    rng = np.random.default_rng(0)
+    stacked = rng.standard_normal((4, 16, 32)).astype(np.float32)
+    stacked[2, 5] *= 100.0  # outlier channel in one layer
+    q = quantize_tree({"weight": stacked}, min_size=1)["weight"]
+    assert q[_SKEY].shape == (4, 16, 1)
+    # channels outside the outlier keep their own (unchanged) scale
+    plain = quantize_tree({"weight": stacked[1]}, min_size=1)["weight"]
+    np.testing.assert_allclose(
+        np.asarray(q[_SKEY][1, :, 0]), np.asarray(plain[_SKEY][:, 0])
+    )
+    # pointwise-conv weights (O, I, 1, 1) must NOT get per-element scales
+    pw = rng.standard_normal((8, 8, 1, 1)).astype(np.float32)
+    qpw = quantize_tree({"weight": pw}, min_size=1)["weight"]
+    assert qpw[_SKEY].shape == (1, 1, 1, 1) or qpw[_SKEY].shape == (8, 1, 1, 1)
