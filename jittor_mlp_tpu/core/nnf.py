@@ -290,6 +290,39 @@ def global_avg_pool_tokens(x):
 
 _FULL_UNROLL = False  # set by core.model.Model.flops for exact cost analysis
 
+# Distributed-execution hook: when set (via block_runner_scope or a factory's
+# block_runner= kwarg), every homogeneous block stack funnels through the
+# runner fn(block_fn, stacked_params, x) instead of the local lax.scan —
+# this is how parallel.pipeline (GPipe stages over 'model') and
+# parallel.sequence (token sharding) reach EVERY scan-over-blocks family,
+# not just the ones that expose an explicit kwarg.
+_block_runner = None
+
+
+class block_runner_scope:
+    """Context manager installing a zoo-wide block runner at trace time.
+
+        with nnf.block_runner_scope(pipeline_runner(mesh, microbatches=4)):
+            y = model(x)   # every scan_blocks stack runs through the runner
+
+    Stacks with rng-threaded bodies (per-layer drop-path keys) fall back to
+    the local scan — their per-layer rng folding has no runner equivalent.
+    """
+
+    def __init__(self, runner):
+        self.runner = runner
+
+    def __enter__(self):
+        global _block_runner
+        self._prev = _block_runner
+        _block_runner = self.runner
+        return self.runner
+
+    def __exit__(self, *exc):
+        global _block_runner
+        _block_runner = self._prev
+        return False
+
 
 def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     """Run homogeneous residual blocks under lax.scan.
@@ -305,6 +338,9 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     ``config.remat_mode()`` turns it on zoo-wide at trace time.
     """
     fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
+
+    if _block_runner is not None:
+        return _block_runner(fn, stacked_params, x)
 
     if _FULL_UNROLL:
         # XLA cost analysis counts a scan body ONCE regardless of trip count;
@@ -357,6 +393,12 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
     fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
     if _FULL_UNROLL:
         unroll = int(depth)  # see scan_blocks: exact FLOPs accounting
+
+    if _block_runner is not None and rng is None:
+        # eval-mode stacks run through the installed distributed runner; a
+        # live rng (per-layer drop-path keys) has no runner equivalent and
+        # keeps the local scan (see block_runner_scope)
+        return _block_runner(lambda bp, h: fn(bp, h, None), stacked_params, x)
 
     if rng is None:
         def body(h, bp):

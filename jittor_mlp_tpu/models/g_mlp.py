@@ -36,8 +36,12 @@ def gMLPForImageClassification(
     d_ffn=1536,
     depth=30,
     use_pallas=True,
+    block_runner=None,
     seed=0,
 ):
+    """block_runner: optional fn(block_fn, stacked_params, x) replacing
+    nnf.scan_blocks — the hook for parallel.pipeline (GPipe stages) and
+    parallel.sequence runners. Overrides the Pallas path."""
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
 
@@ -50,7 +54,8 @@ def gMLPForImageClassification(
         x = x.reshape(B, num_patches, d_model)
 
         if (
-            use_pallas
+            block_runner is None
+            and use_pallas
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
@@ -88,7 +93,10 @@ def gMLPForImageClassification(
             y = nnf.linear(bp["channel_proj2"], u * v)
             return h + y
 
-        x = nnf.scan_blocks(block, params["blocks"], x)
+        if block_runner is not None:
+            x = block_runner(block, params["blocks"], x)
+        else:
+            x = nnf.scan_blocks(block, params["blocks"], x)
         x = nnf.global_avg_pool_tokens(x)
         return nnf.linear(params["head"], x)
 

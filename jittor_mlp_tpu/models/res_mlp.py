@@ -34,8 +34,12 @@ def ResMLPForImageClassification(
     depth=12,
     expansion_factor=4,
     use_pallas=True,
+    block_runner=None,
     seed=0,
 ):
+    """block_runner: optional fn(block_fn, stacked_params, x) replacing
+    nnf.scan_blocks — the hook for parallel.pipeline (GPipe stages) and
+    parallel.sequence.token_parallel_runner. Overrides the Pallas path."""
     num_patches = check_sizes(image_size, patch_size)
     ph, _ = pair(patch_size)
 
@@ -48,7 +52,8 @@ def ResMLPForImageClassification(
         x = x.reshape(B, num_patches, d_model)
 
         if (
-            use_pallas
+            block_runner is None
+            and use_pallas
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
@@ -90,7 +95,10 @@ def ResMLPForImageClassification(
             y = nnf.linear(bp["ff"]["net"]["3"], y)
             return h + bp["gamma_2"] * y
 
-        x = nnf.scan_blocks(block, params["blocks"], x)
+        if block_runner is not None:
+            x = block_runner(block, params["blocks"], x)
+        else:
+            x = nnf.scan_blocks(block, params["blocks"], x)
         # NOTE: the reference constructs a final Aff (res_mlp.py:86) but its
         # forward never applies it (res_mlp.py:91-99) — we keep the params for
         # state_dict compatibility and reproduce the executed behavior.

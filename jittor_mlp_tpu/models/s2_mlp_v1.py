@@ -26,6 +26,7 @@ def S2MLPv1(
     d_model=[192, 384],
     depth=[4, 14],
     expansion_factor=[3, 3],
+    block_runner=None,
     seed=0,
 ):
     n_stages = len(patch_size)
@@ -49,7 +50,10 @@ def S2MLPv1(
                 y = nnf.linear(c["fn"]["3"], y)
                 return h + y
 
-            x = nnf.scan_blocks(block, sp["blocks"], x)
+            if block_runner is not None:
+                x = block_runner(block, sp["blocks"], x)
+            else:
+                x = nnf.scan_blocks(block, sp["blocks"], x)
         x = jnp.mean(x, axis=(1, 2))
         return nnf.linear(params["head"], x)
 

@@ -70,6 +70,7 @@ def ViP(
     segments=14,
     expansion_factor=4,
     weighted=True,
+    block_runner=None,
     seed=0,
 ):
     image_size = pair(image_size)
@@ -100,7 +101,10 @@ def ViP(
             y = nnf.linear(c["fn"]["3"], y)
             return h + y
 
-        x = nnf.scan_blocks(block, params["blocks"], x)
+        if block_runner is not None:
+            x = block_runner(block, params["blocks"], x)
+        else:
+            x = nnf.scan_blocks(block, params["blocks"], x)
         x = nnf.layer_norm(params["head_norm"], x)
         x = jnp.mean(x, axis=(1, 2))
         return nnf.linear(params["head"], x)

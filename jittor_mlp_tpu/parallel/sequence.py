@@ -116,3 +116,86 @@ def token_parallel_mixer_runner(mesh, axis="model"):
         return y
 
     return runner
+
+
+# ---------------------------------------------------------------------------
+# ResMLP: second token-sharded family. The block's token mixer is one N×N
+# matmul, so the sharded form is a partial contraction over local input
+# tokens followed by a psum_scatter over output tokens (reduce-scatter —
+# half the bytes of the mixer runner's full psum since every shard only
+# needs its own token rows back). Channel FF and affines stay per-token.
+# ---------------------------------------------------------------------------
+
+
+def token_parallel_resmlp_block(mesh, axis="model"):
+    """Build fn(x, *weights) running one ResMLP block (models/res_mlp.py
+    semantics: pre_affine → +g1·token_mix → post_affine → +g2·FF) with
+    tokens sharded on ``axis``."""
+
+    def block(x, pa, pb, g1, wt, bt, qa, qb, g2, w3, b3, w4, b4):
+        # x: (B, N/s, D) local tokens; wt cols and bt sharded over tokens
+        h = x * pa + pb
+        part = jnp.einsum("oi,bid->bod", wt, h)      # (B, N, D) partial sums
+        tm = lax.psum_scatter(part, axis, scatter_dimension=1, tiled=True)
+        h = h + g1 * (tm + bt[None, :, None])
+        h = h * qa + qb
+        y = nnf.gelu(jnp.matmul(h, w3.T) + b3)
+        return h + g2 * (jnp.matmul(y, w4.T) + b4)
+
+    specs = (
+        P(None, axis, None),   # x tokens sharded
+        P(), P(), P(),         # pre_affine alpha/beta, gamma_1
+        P(None, axis), P(axis),  # token-mix cols + bias over tokens
+        P(), P(), P(),         # post_affine alpha/beta, gamma_2
+        P(), P(), P(), P(),    # channel FF replicated
+    )
+    return shard_map(
+        block, mesh=mesh, in_specs=specs, out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+
+
+def _resmlp_block_args(bp):
+    """Map one stacked ResMLP block's params (models/res_mlp.py structure)
+    onto token_parallel_resmlp_block's 12 weight args."""
+    return (
+        bp["pre_affine"]["alpha"].reshape(-1),
+        bp["pre_affine"]["beta"].reshape(-1),
+        bp["gamma_1"],
+        bp["token_mix"]["weight"][:, :, 0], bp["token_mix"]["bias"],
+        bp["post_affine"]["alpha"].reshape(-1),
+        bp["post_affine"]["beta"].reshape(-1),
+        bp["gamma_2"],
+        bp["ff"]["net"]["0"]["weight"], bp["ff"]["net"]["0"]["bias"],
+        bp["ff"]["net"]["3"]["weight"], bp["ff"]["net"]["3"]["bias"],
+    )
+
+
+_SP_FAMILIES = {
+    "mlp_mixer": (token_parallel_mixer_block, _mixer_block_args),
+    "res_mlp": (token_parallel_resmlp_block, _resmlp_block_args),
+}
+
+
+def token_parallel_runner(mesh, family="mlp_mixer", axis="model"):
+    """A ``block_runner`` running every scanned block of ``family``
+    sequence-parallel, tokens sharded over ``axis``:
+
+        runner = token_parallel_runner(mesh, "res_mlp")
+        model = jm.ResMLPForImageClassification(block_runner=runner)
+
+    Families: {familes}. Requires num_patches % mesh.shape[axis] == 0. The
+    ``block_fn`` argument each factory passes is ignored — the runner
+    substitutes the token-sharded block math for that family's params
+    structure.""".replace("{familes}", ", ".join(sorted(_SP_FAMILIES)))
+    make_block, to_args = _SP_FAMILIES[family]
+    tp_block = make_block(mesh, axis)
+
+    def runner(block_fn, stacked_params, x):
+        def body(h, bp):
+            return tp_block(h, *to_args(bp)), None
+
+        y, _ = lax.scan(body, x, stacked_params)
+        return y
+
+    return runner
