@@ -127,22 +127,37 @@ def run_parity(name, batch=2, image_size=224):
         want = ref(x).numpy()
         t_ref = time.perf_counter() - t0
     with config.parity_mode():
-        got = np.asarray(ours(x))
-    diff = np.abs(got - want)
-    rel = diff / np.maximum(np.abs(want), 1e-6)
-    # also report the reference's own acceptance metric for comparison:
-    # mean relative error on outputs+1 (compare.py:179-186)
-    ref_rel = float(np.mean(diff / np.maximum(np.abs(want + 1), 1e-6)))
+        got = ours(x)
+
+    # diff statistics computed ON the executing device, fetching scalars
+    # only: bulk device→host transfers over the tunneled-TPU runtime are
+    # pathologically slow, and the logits never need to leave the chip
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _stats(got, want):
+        diff = jnp.abs(got - want)
+        rel = diff / jnp.maximum(jnp.abs(want), 1e-6)
+        # also the reference's own acceptance metric for comparison:
+        # mean relative error on outputs+1 (compare.py:179-186)
+        ref_rel = jnp.mean(diff / jnp.maximum(jnp.abs(want + 1), 1e-6))
+        return (diff.max(), diff.mean(), rel.max(), ref_rel,
+                jnp.abs(want).max())
+
+    max_abs, mean_abs, max_rel, ref_rel, out_scale = (
+        float(s) for s in _stats(got, jax.device_put(jnp.asarray(want)))
+    )
     return {
         "model": name,
         "params": ours.param_count(),
-        "max_abs": float(diff.max()),
-        "mean_abs": float(diff.mean()),
-        "max_rel": float(rel.max()),
+        "max_abs": max_abs,
+        "mean_abs": mean_abs,
+        "max_rel": max_rel,
         "ref_mean_rel": ref_rel,
-        "out_scale": float(np.abs(want).max()),
+        "out_scale": out_scale,
         "bn_recalibrated": bool(recalibrated),
-        "parity_ok": bool(diff.max() < 1e-4 or rel.max() < 1e-4),
+        "parity_ok": bool(max_abs < 1e-4 or max_rel < 1e-4),
         "torch_cpu_fwd_ms": t_ref * 1e3,
     }
 

@@ -207,6 +207,21 @@ def layer_norm(p, x, eps=1e-5):
 # scan bodies into stacked scan outputs.
 _bn_sink = None
 
+# Numerics/tracing hook: models call nnf.probe(tag, x) at stage boundaries;
+# a no-op unless utils.probes.capture installed a sink. Tags are static
+# strings, so probe sites must sit OUTSIDE lax.scan bodies (stage level).
+_probe_sink = None
+
+
+def probe(tag, x):
+    """Record an intermediate under utils.probes.capture; identity otherwise.
+
+    Used by tools/tpu_numerics.py to attribute CPU-vs-TPU fp32 drift to the
+    stage that introduces it (VERDICT r2 item 1)."""
+    if _probe_sink is not None:
+        _probe_sink.append((tag, x))
+    return x
+
 
 def batch_norm(p, x, eps=1e-5, train=False):
     """torch nn.BatchNorm2d/1d in NHWC (channel-last) form.
@@ -221,7 +236,10 @@ def batch_norm(p, x, eps=1e-5, train=False):
         mean = jnp.mean(xf, axis=axes)
         var = jnp.var(xf, axis=axes)
         if _bn_sink is not None and "_bn_id" in p:
-            _bn_sink.append((p["_bn_id"], mean, var))
+            # n = per-channel element count, for torch's unbiased n/(n-1)
+            # running-var correction (train_utils.apply_bn_updates)
+            n = jnp.float32(x.size // x.shape[-1])
+            _bn_sink.append((p["_bn_id"], mean, var, n))
     else:
         mean = p["running_mean"].astype(jnp.float32)
         var = p["running_var"].astype(jnp.float32)
@@ -337,9 +355,8 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
     repmlpnet.py:252-259): activations recompute in the backward pass.
     ``config.remat_mode()`` turns it on zoo-wide at trace time.
     """
-    fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
-
     if _block_runner is not None:
+        fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
         return _block_runner(fn, stacked_params, x)
 
     if _FULL_UNROLL:
@@ -349,11 +366,19 @@ def scan_blocks(block_fn, stacked_params, x, unroll=1, remat=False):
         depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
         unroll = int(depth)
 
-    def body(h, bp):
+    # The sink capture lives INSIDE the (possibly checkpointed) function so
+    # collected BN stats are explicit outputs of the remat'd computation —
+    # appending remat-trace tracers to an outer list would leak them.
+    def inner(bp, h):
         local, token = _enter_local_sink()
-        out = fn(bp, h)
+        out = block_fn(bp, h)
         _exit_local_sink(token, local)
         return out, tuple(local)
+
+    fn = jax.checkpoint(inner) if (remat or config.remat) else inner
+
+    def body(h, bp):
+        return fn(bp, h)
 
     y, ys = lax.scan(body, x, stacked_params, unroll=unroll)
     _flush_scanned_stats(ys)
@@ -390,22 +415,29 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
     eval paths trace without random ops.
     """
     depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    fn = jax.checkpoint(block_fn) if (remat or config.remat) else block_fn
     if _FULL_UNROLL:
         unroll = int(depth)  # see scan_blocks: exact FLOPs accounting
 
+    do_remat = remat or config.remat
     if _block_runner is not None and rng is None:
         # eval-mode stacks run through the installed distributed runner; a
         # live rng (per-layer drop-path keys) has no runner equivalent and
         # keeps the local scan (see block_runner_scope)
-        return _block_runner(lambda bp, h: fn(bp, h, None), stacked_params, x)
+        raw = jax.checkpoint(block_fn) if do_remat else block_fn
+        return _block_runner(lambda bp, h: raw(bp, h, None), stacked_params, x)
+
+    # sink capture inside the checkpointed fn — see scan_blocks
+    def inner(bp, h, r):
+        local, token = _enter_local_sink()
+        out = block_fn(bp, h, r)
+        _exit_local_sink(token, local)
+        return out, tuple(local)
+
+    fn = jax.checkpoint(inner) if do_remat else inner
 
     if rng is None:
         def body(h, bp):
-            local, token = _enter_local_sink()
-            out = fn(bp, h, None)
-            _exit_local_sink(token, local)
-            return out, tuple(local)
+            return fn(bp, h, None)
 
         y, ys = lax.scan(body, x, stacked_params, unroll=unroll)
         _flush_scanned_stats(ys)
@@ -415,10 +447,7 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
 
     def body(h, xs):
         bp, i = xs
-        local, token = _enter_local_sink()
-        out = fn(bp, h, jax.random.fold_in(rng, i))
-        _exit_local_sink(token, local)
-        return out, tuple(local)
+        return fn(bp, h, jax.random.fold_in(rng, i))
 
     y, ys = lax.scan(body, x, (stacked_params, idx), unroll=unroll)
     _flush_scanned_stats(ys)

@@ -30,9 +30,16 @@ def tag_bn_sites(params):
     counter = [0]
 
     def walk(node):
+        # lists/tuples nested anywhere (e.g. per-stage model lists) must be
+        # descended too, or their BN sites silently go untagged. Dict keys
+        # walk in SORTED order — the canonical pytree order, so numbering is
+        # invariant under flatten/unflatten round-trips (which sort keys).
+        if isinstance(node, (list, tuple)):
+            t = [walk(v) for v in node]
+            return type(node)(t) if not isinstance(node, tuple) else tuple(t)
         if not isinstance(node, dict):
             return node
-        out = {k: walk(v) for k, v in node.items()}
+        out = {k: walk(node[k]) for k in sorted(node)}
         if "running_mean" in node:
             rm = node["running_mean"]
             lead = rm.shape[:-1]  # leading layer axes for scan-stacked sites
@@ -40,15 +47,7 @@ def tag_bn_sites(params):
             counter[0] += 1
         return out
 
-    def walk_any(node):
-        if isinstance(node, dict):
-            return walk(node)
-        if isinstance(node, (list, tuple)):
-            t = [walk_any(v) for v in node]
-            return type(node)(t) if not isinstance(node, tuple) else tuple(t)
-        return node
-
-    return walk_any(params), counter[0]
+    return walk(params), counter[0]
 
 
 def _strip_tags(params):
@@ -61,7 +60,7 @@ def _strip_tags(params):
 
 
 def make_bn_collector(apply_fn, rng=None):
-    """Jitted (tagged_params, x) → [(id, mean, var), ...] (compiled once)."""
+    """Jitted (tagged_params, x) → [(id, mean, var, n), ...] (compiled once)."""
 
     @jax.jit
     def run(params, x):
@@ -78,9 +77,76 @@ def make_bn_collector(apply_fn, rng=None):
 
 
 def collect_bn_stats(apply_fn, tagged_params, x, rng=None):
-    """One train-mode forward returning [(id, mean, var), ...] (concrete)."""
+    """One train-mode forward returning [(id, mean, var, n), ...] (concrete)."""
     stats = make_bn_collector(apply_fn, rng)(tagged_params, x)
     return jax.tree_util.tree_map(np.asarray, stats)
+
+
+def execution_order_ids(apply_fn, params, x, rng=None):
+    """Static site-id sequence in sink (execution) order, via one concrete
+    tagged collection pass. parallel.train.make_train_step uses this once to
+    align the traced per-step stats (whose id leaves are tracers) with the
+    tree-walk site numbering, so the running-stat EMA can be applied inside
+    jit. Returns () when the model has no BN sites."""
+    tagged, n_sites = tag_bn_sites(params)
+    if n_sites == 0:
+        return ()
+    stats = collect_bn_stats(apply_fn, tagged, x, rng)
+    return tuple(
+        int(np.asarray(sid).reshape(-1)[0]) for sid, _m, _v, _n in stats
+    )
+
+
+def apply_bn_updates(params, stats, exec_ids, momentum=0.1):
+    """torch BatchNorm train-mode running-stat update, applied functionally.
+
+    ``stats``: the [(id, mean, var, n), ...] a sink-instrumented train
+    forward collected (ids may be tracers — they are ignored; ``exec_ids``
+    supplies the static execution-order → site mapping from
+    execution_order_ids). Semantics match torch.nn.BatchNorm2d
+    (batchnorm.py forward):
+
+        running_mean ← (1 − m)·running_mean + m·batch_mean
+        running_var  ← (1 − m)·running_var  + m·batch_var·n/(n−1)
+
+    with m = ``momentum`` (torch default 0.1) and the UNBIASED batch
+    variance for the running update (biased is used for normalization).
+    Returns a new params tree; jit-safe.
+    """
+    by_site = {}
+    for pos, entry in enumerate(stats):
+        _sid, mean, var, n = entry
+        by_site[exec_ids[pos]] = (mean, var, n)
+    counter = [0]
+    m = momentum
+
+    def walk(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                t = [walk(v) for v in node]
+                return type(node)(t) if not isinstance(node, tuple) else tuple(t)
+            return node
+        # sorted-key walk: must number sites exactly like tag_bn_sites
+        out = {k: walk(node[k]) for k in sorted(node)}
+        if "running_mean" in node:
+            sid = counter[0]
+            counter[0] += 1
+            if sid in by_site:
+                mean, var, n = by_site[sid]
+                n = jnp.asarray(n, jnp.float32)
+                if n.ndim:  # stacked sites: (L,) counts broadcast over C
+                    n = n[..., None]
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                rm, rv = node["running_mean"], node["running_var"]
+                out["running_mean"] = (
+                    (1.0 - m) * rm.astype(jnp.float32) + m * mean
+                ).astype(rm.dtype)
+                out["running_var"] = (
+                    (1.0 - m) * rv.astype(jnp.float32) + m * unbiased
+                ).astype(rv.dtype)
+        return out
+
+    return walk(params)
 
 
 def recalibrate_bn(model, batches, rng=None):
@@ -100,7 +166,7 @@ def recalibrate_bn(model, batches, rng=None):
     for xb in batches:
         xb = jnp.asarray(np.asarray(xb))
         stats = jax.tree_util.tree_map(np.asarray, collector(tagged, xb))
-        for sid_arr, mean, var in stats:
+        for sid_arr, mean, var, _n in stats:
             sid_arr = np.asarray(sid_arr)
             flat_ids = sid_arr.reshape(-1) if sid_arr.ndim else sid_arr[None]
             sid = int(flat_ids[0])

@@ -67,6 +67,7 @@ def AS_MLP(
         x = nnf.patch_embed(params["patch_embed"]["proj"], x, patch_size)
         if patch_norm:
             x = _gn(params["patch_embed"]["norm"], x)
+        x = nnf.probe("patch_embed", x)
         for i in range(n_layers):
             lp = params["layers"][i]
 
@@ -91,6 +92,7 @@ def AS_MLP(
                 x = jnp.concatenate([x0, x1, x2, x3], -1)
                 x = _gn(lp["downsample"]["norm"], x)
                 x = _conv11(lp["downsample"]["reduction"], x)
+            x = nnf.probe(f"stage{i}", x)
         x = _gn(params["norm"], x)
         x = jnp.mean(x, axis=(1, 2))
         return nnf.linear(params["head"], x)

@@ -87,8 +87,8 @@ def cast_floating(tree, dtype):
     )
 
 
-def make_train_step(apply_fn, optimizer, compute_dtype=None):
-    """Build a jitted (params, opt_state, batch, rng) -> (params, opt_state, loss).
+def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
+    """Build a (params, opt_state, batch, rng) -> (params, opt_state, loss).
 
     Sharding comes from the inputs' NamedShardings (place params with
     ``init_sharded`` and batches with ``batch_sharding``); XLA's SPMD
@@ -99,10 +99,26 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None):
     weights, gradients, and the optimizer stay f32; the forward/backward runs
     in bf16 (params and images cast at the loss boundary, so autodiff emits
     f32 grads through the cast).
+
+    BatchNorm running statistics update every step with torch's train-mode
+    EMA semantics (momentum 0.1, unbiased running variance — matching
+    torch.nn.BatchNorm2d as used throughout /root/reference/models_pytorch,
+    e.g. wave_mlp.py:73-77): the per-batch stats the forward already
+    computes flow out of the scan bodies via the nnf sink and fold into the
+    (non-trainable) running buffers. ``bn_momentum=None`` disables the
+    update (round-1 behavior: refresh via train_utils.recalibrate_bn).
     """
+    from ..core import nnf, train_utils
+
+    # exec-order → tree-site alignment is discovered once, concretely, at
+    # the first call (ids inside the jitted trace are tracers; see
+    # train_utils.execution_order_ids)
+    state = {"exec_ids": None}
 
     def step(params, opt_state, batch, rng):
         train, aux, treedef, n = split_params(params)
+        exec_ids = state["exec_ids"]
+        collect = bool(exec_ids)
 
         def loss_fn(train):
             full = merge_params(train, aux, treedef, n)
@@ -110,15 +126,43 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None):
             if compute_dtype is not None:
                 full = cast_floating(full, compute_dtype)
                 x = x.astype(compute_dtype)
-            logits = apply_fn(full, x, train=True, rng=rng)
-            return cross_entropy_loss(logits, batch["label"])
+            if collect:
+                full, _ = train_utils.tag_bn_sites(full)
+                sink = []
+                token = nnf._bn_sink
+                nnf._bn_sink = sink
+                try:
+                    logits = apply_fn(full, x, train=True, rng=rng)
+                finally:
+                    nnf._bn_sink = token
+            else:
+                sink = []
+                logits = apply_fn(full, x, train=True, rng=rng)
+            return cross_entropy_loss(logits, batch["label"]), sink
 
-        loss, grads = jax.value_and_grad(loss_fn)(train)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(train)
         updates, opt_state = optimizer.update(grads, opt_state, train)
         train = optax.apply_updates(train, updates)
-        return merge_params(train, aux, treedef, n), opt_state, loss
+        params = merge_params(train, aux, treedef, n)
+        if collect and stats:
+            params = train_utils.apply_bn_updates(
+                params, stats, exec_ids, momentum=bn_momentum
+            )
+        return params, opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run(params, opt_state, batch, rng):
+        if state["exec_ids"] is None:
+            state["exec_ids"] = (
+                () if bn_momentum is None
+                else train_utils.execution_order_ids(
+                    apply_fn, params, batch["image"][:1], rng
+                )
+            )
+        return jitted(params, opt_state, batch, rng)
+
+    return run
 
 
 def init_sharded(params, optimizer, mesh):

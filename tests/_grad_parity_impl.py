@@ -159,6 +159,35 @@ def main():
         jm.Sequencer2D(model_name="XS", num_classes=10),
         (2, 3, 28, 28),
     )
+
+    # shift model: AS-MLP (cites /root/reference/models_pytorch/as_mlp.py) —
+    # pins the axial-shift backward (the functional lowering whose Pallas
+    # custom VJP mirrors it on TPU, ops/pallas/shift_kernel.py)
+    askw = dict(img_size=32, patch_size=4, embed_dim=16, depths=[1, 1],
+                shift_size=3, mlp_ratio=2.0, num_classes=10,
+                drop_path_rate=0.0)
+    check_model(
+        "as_mlp",
+        ref_model("as_mlp", "AS_MLP", **askw),
+        jm.AS_MLP(**askw),
+        (2, 3, 32, 32),
+    )
+
+    # offset-gather model: ActiveMLP (cites /root/reference/models_pytorch/
+    # active_mlp.py) — pins the hat-function bilinear contraction backward
+    # (ops/deform.py:161-201) against torch autograd through the ATM op
+    # depths ≥ 2 per stage: the reference only generates an offset at blocks
+    # with j % intv == 0 and j != depth-1 (active_mlp.py:332-339), so a
+    # 1-block stage would use `offset` unbound
+    actkw = dict(img_size=32, patch_size=4, depths=[2, 2],
+                 embed_dims=[16, 32], mlp_ratios=[2, 2], share_dims=[1, 1],
+                 num_classes=10)
+    check_model(
+        "active_mlp",
+        ref_model("active_mlp", "ActiveMLP", **actkw),
+        jm.models.active_mlp.ActiveMLP(**actkw),
+        (2, 3, 32, 32),
+    )
     print("grad parity ok")
 
 

@@ -212,14 +212,27 @@ def test_train_step_excludes_aux_and_buffers():
         np.asarray(params["stages"][0]["blocks"]["_step"]), step_before
     )
 
+    # BN buffers are never optimizer-updated (no adamw/weight-decay): with
+    # the EMA disabled they must come back bit-identical. (With the default
+    # bn_momentum=0.1 they update via torch's running-stat EMA instead —
+    # tests/test_bn_training.py pins those semantics.)
     m2 = jm.ConvMixer(dim=8, depth=2, kernel_size=3, patch_size=4, n_classes=5)
     train2, _, _, _ = split_params(m2.params)
     opt_state2 = opt.init(train2)
-    step2 = make_train_step(m2.apply, opt)
+    step2 = make_train_step(m2.apply, opt, bn_momentum=None)
     rv_before = np.asarray(m2.params["embedding"]["2"]["running_var"]).copy()
     p2, _, _ = step2(m2.params, opt_state2, batch, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(
         np.asarray(p2["embedding"]["2"]["running_var"]), rv_before
+    )
+
+    # default (torch-semantics) path: the same step WITH the EMA moves them
+    m3 = jm.ConvMixer(dim=8, depth=2, kernel_size=3, patch_size=4, n_classes=5)
+    train3, _, _, _ = split_params(m3.params)
+    step3 = make_train_step(m3.apply, opt)
+    p3, _, _ = step3(m3.params, opt.init(train3), batch, jax.random.PRNGKey(0))
+    assert not np.array_equal(
+        np.asarray(p3["embedding"]["2"]["running_var"]), rv_before
     )
 
 
