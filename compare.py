@@ -93,7 +93,7 @@ def build_ours(name):
     return factory(**kwargs)
 
 
-def run_parity(name, batch=2, image_size=224):
+def run_parity(name, batch=2, image_size=224, cache_ref=None):
     """Full-size strict parity for one config; returns a metrics dict.
 
     Gate: max-abs OR max-rel ≤ 1e-4 (stricter than the reference's own
@@ -101,31 +101,58 @@ def run_parity(name, batch=2, image_size=224):
     running stats are recalibrated on the reference first (see module
     docstring), then imported, so the scales are sane and the strict gate
     is meaningful.
-    """
-    import torch
 
-    from ref_loader import recalibrate_ref_bn, ref_model
+    ``cache_ref``: directory caching the torch side (recalibrated
+    state_dict + reference output for the deterministic seed-1 input), so
+    the on-chip sweep doesn't re-pay the host-CPU reference forwards the
+    CPU sweep already ran.
+    """
+    import os
+
+    import torch
 
     from jittor_mlp_tpu import config
 
     ref_mod, ref_cls, our_name, kwargs = CONFIGS[name]
     ours = build_ours(name)
-    if name in ("s2_mlp_v1", "s2_mlp_v2"):
-        # torch-CPU cascades on the reference's overlapping in-place
-        # shifts (UB); patch in the functional semantics the original
-        # CUDA/Jittor parity harness validated (tests/test_vip_s2mlp.py)
-        from test_vip_s2mlp import _patch_s2_shifts
+    cache = None
+    if cache_ref:
+        os.makedirs(cache_ref, exist_ok=True)
+        cache = os.path.join(cache_ref, f"{name}_{image_size}_{batch}.pt")
+    if cache and os.path.exists(cache):
+        blob = torch.load(cache, map_location="cpu", weights_only=False)
+        want = blob["want"]
+        recalibrated = blob["recalibrated"]
+        t_ref = blob["t_ref"]
+        ours.load_torch_state_dict(blob["sd"])
+    else:
+        from ref_loader import recalibrate_ref_bn, ref_model
 
-        _patch_s2_shifts()
-    ref = ref_model(ref_mod, ref_cls, **kwargs)
-    recalibrated = recalibrate_ref_bn(ref, image_size=image_size)
-    ours.load_torch_state_dict(ref.state_dict())
-    torch.manual_seed(1)
+        if name in ("s2_mlp_v1", "s2_mlp_v2"):
+            # torch-CPU cascades on the reference's overlapping in-place
+            # shifts (UB); patch in the functional semantics the Jittor
+            # reference executes — pinned bit-exactly by the golden
+            # statement-semantics emulation in tests/test_s2_jittor_golden.py
+            from test_vip_s2mlp import _patch_s2_shifts
+
+            _patch_s2_shifts()
+        ref = ref_model(ref_mod, ref_cls, **kwargs)
+        recalibrated = recalibrate_ref_bn(ref, image_size=image_size)
+        ours.load_torch_state_dict(ref.state_dict())
+        torch.manual_seed(1)
+        xr = torch.randn(batch, 3, image_size, image_size)
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            want = ref(xr).numpy()
+            t_ref = time.perf_counter() - t0
+        if cache:
+            torch.save(
+                {"want": want, "sd": ref.state_dict(),
+                 "recalibrated": recalibrated, "t_ref": t_ref},
+                cache,
+            )
+    torch.manual_seed(1)  # deterministic input — identical on cache hits
     x = torch.randn(batch, 3, image_size, image_size)
-    with torch.no_grad():
-        t0 = time.perf_counter()
-        want = ref(x).numpy()
-        t_ref = time.perf_counter() - t0
     with config.parity_mode():
         got = ours(x)
 
@@ -142,11 +169,14 @@ def run_parity(name, batch=2, image_size=224):
         # also the reference's own acceptance metric for comparison:
         # mean relative error on outputs+1 (compare.py:179-186)
         ref_rel = jnp.mean(diff / jnp.maximum(jnp.abs(want + 1), 1e-6))
-        return (diff.max(), diff.mean(), rel.max(), ref_rel,
-                jnp.abs(want).max())
+        # one stacked fetch: each device→host round-trip over the tunnel
+        # costs seconds, so never fetch the five stats separately
+        return jnp.stack([diff.max(), diff.mean(), rel.max(), ref_rel,
+                          jnp.abs(want).max()])
 
     max_abs, mean_abs, max_rel, ref_rel, out_scale = (
-        float(s) for s in _stats(got, jax.device_put(jnp.asarray(want)))
+        float(s)
+        for s in np.asarray(_stats(got, jax.device_put(jnp.asarray(want))))
     )
     return {
         "model": name,
@@ -286,6 +316,9 @@ def main():
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="append one JSON record per model to PATH "
                          "(machine-readable BENCHMARKS sweep)")
+    ap.add_argument("--cache-ref", default=None, metavar="DIR",
+                    help="cache the torch-reference side (state_dict + "
+                         "output) per config in DIR")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
 
@@ -317,7 +350,8 @@ def main():
     print(f"== {args.model} ==")
     record = {"model": args.model}
     if not args.skip_parity:
-        record.update(run_parity(args.model, image_size=args.image_size))
+        record.update(run_parity(args.model, image_size=args.image_size,
+                                 cache_ref=args.cache_ref))
         status = "OK" if record["parity_ok"] else "FAIL"
         print(f"params: {record['params']:,}")
         print(f"parity: max abs {record['max_abs']:.3e}  "

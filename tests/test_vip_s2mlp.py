@@ -30,7 +30,10 @@ def _functional_shift2(x):
 def _patch_s2_shifts():
     """torch CPU cascades on the reference's overlapping in-place shifts (UB);
     Jittor's lazy graph and the CUDA kernels the original compare.py validated
-    give functional semantics — patch the reference to those before parity."""
+    give functional semantics — patch the reference to those before parity.
+    Evidence (not just argument): tests/test_s2_jittor_golden.py replays the
+    Jittor statements under its functional var semantics in numpy and pins
+    our lowering bit-exactly to that golden."""
     v1 = load_ref("s2_mlp_v1")
     v1.Spatial_Shift.forward = lambda self, x: _functional_shift1(x)
     v2 = load_ref("s2_mlp_v2")
