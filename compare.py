@@ -189,6 +189,7 @@ def run_parity(name, batch=2, image_size=224, cache_ref=None):
         "bn_recalibrated": bool(recalibrated),
         "parity_ok": bool(max_abs < 1e-4 or max_rel < 1e-4),
         "torch_cpu_fwd_ms": t_ref * 1e3,
+        "fast_compile": bool(config.fast_compile),
     }
 
 

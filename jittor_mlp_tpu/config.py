@@ -17,6 +17,12 @@ import jax.numpy as jnp
 matmul_precision = None  # None → jax default; or 'highest' for parity on TPU
 compute_dtype = jnp.float32
 remat = False  # wrap every scanned block in jax.checkpoint (training memory)
+# When truthy, Model.__call__ compiles with XLA's low-effort knobs
+# (exec_time_optimization_effort/memory_fitting_effort = -1). Numerics-only
+# runs (parity sweeps) set this via env JMT_FAST_COMPILE=1 when a model's
+# default compile cannot fit this environment's process window; it changes
+# compile time, not semantics (any valid schedule is 'the hardware result').
+fast_compile = bool(int(__import__("os").environ.get("JMT_FAST_COMPILE", "0")))
 
 
 @contextmanager

@@ -129,7 +129,7 @@ class Model:
 
     def _jitted(self):
         key = (config.compute_dtype, config.matmul_precision, config.remat,
-               self.training)
+               self.training, config.fast_compile)
         fn = self._jit_cache.get(key)
         if fn is None:
             train = self.training
@@ -138,7 +138,11 @@ class Model:
                 x = x.astype(config.compute_dtype)
                 return self.apply(params, x, train=train, rng=rng)
 
-            fn = jax.jit(fwd)
+            opts = None
+            if config.fast_compile:
+                opts = {"exec_time_optimization_effort": -1.0,
+                        "memory_fitting_effort": -1.0}
+            fn = jax.jit(fwd, compiler_options=opts)
             self._jit_cache[key] = fn
         return fn
 
