@@ -23,10 +23,10 @@ from ..core.model import Model
 from ..ops.deform import atm_op
 
 
-def _atm_layer(bp, x, offset, dim, share=1):
+def _atm_layer(bp, x, offset, dim, share=1, band=None):
     C = dim
-    w = atm_op(bp["atm_w"], x, offset[..., :C], "w", share=share)
-    h = atm_op(bp["atm_h"], x, offset[..., C:], "h", share=share)
+    w = atm_op(bp["atm_w"], x, offset[..., :C], "w", share=share, band=band)
+    h = atm_op(bp["atm_h"], x, offset[..., C:], "h", share=share, band=band)
     c = nnf.linear(bp["atm_c"], x)
     B = x.shape[0]
     a = jnp.mean(w + h + c, axis=(1, 2))
@@ -49,8 +49,13 @@ def ActiveMLP(
     drop_path_rate=0.0,
     intv=2,
     seed=0,
+    offset_band=None,
     **kwargs,
 ):
+    """``offset_band=D`` swaps the exact hat-contraction sampler for the
+    banded one (ops/deform._hat_sample_1d_banded): identical outputs whenever
+    every learned offset lies in [-D, D] (out-of-band offsets saturate at
+    ±D), at O(D) elementwise cost instead of an O(H) MXU contraction."""
     n_stages = len(depths)
 
     import numpy as _np
@@ -81,7 +86,8 @@ def ActiveMLP(
                     o = nnf.linear(bp["offset_layer"]["1"], o)
                     offset = jnp.repeat(o, share_dims[i], axis=-1)
                 y = nnf.layer_norm(bp["norm1"], x)
-                y = _atm_layer(bp["atm"], y, offset, dim, share=share_dims[i])
+                y = _atm_layer(bp["atm"], y, offset, dim,
+                               share=share_dims[i], band=offset_band)
                 x = x + nnf.drop_path(r1, y, dprv, train)
                 y = nnf.layer_norm(bp["norm2"], x)
                 y = nnf.linear(bp["mlp"]["fc2"], nnf.gelu(nnf.linear(bp["mlp"]["fc1"], y)))

@@ -190,11 +190,43 @@ def _hat_sample_1d(x, offset, axis, share=1):
     return y.reshape(B, H, W, C)
 
 
-def atm_op(p, x, offset, dimension, share=1):
+def _hat_sample_1d_banded(x, offset, axis, share=1, band=4):
+    """Banded bilinear sample: identical to _hat_sample_1d whenever every
+    offset lies in [-band, band], at O(band) elementwise cost instead of an
+    O(n) contraction.
+
+    out[..., i, ...] = Σ_d max(0, 1 − |off − d|) · x[..., i+d, ...]
+    (substituting j = i + d in the hat sum) — the hat coefficient is nonzero
+    only for d ∈ {⌊off⌋, ⌊off⌋+1}, so offsets bounded by ``band`` need only
+    the 2·band+1 static shifts d ∈ [−band, band]. Each term is a zero-padded
+    static shift times an elementwise coefficient: pure VPU work, no
+    (B,H,W,g,n) hat-matrix intermediate and no n× FLOP blowup. Offsets are
+    clamped to the band, so out-of-band offsets saturate instead of matching
+    the exact path — callers opt in via ActiveMLP(offset_band=...).
+    """
+    B, H, W, C = x.shape
+    g = C // share
+    off = offset.reshape(B, H, W, g, share)[..., 0].astype(jnp.float32)
+    off = jnp.clip(off, -band, band)
+    xg = x.reshape(B, H, W, g, share)
+    out = jnp.zeros_like(xg)
+    for d in range(-band, band + 1):
+        coeff = jnp.maximum(0.0, 1.0 - jnp.abs(off - d)).astype(x.dtype)
+        out = out + coeff[..., None] * _shift_zero(
+            xg, axis, d
+        )
+    return out.reshape(B, H, W, C)
+
+
+def atm_op(p, x, offset, dimension, share=1, band=None):
     """ActiveMLP ATMOp on NHWC: per-channel learned float offset along one
-    axis, then 1x1 matmul (active_mlp.py:65-81)."""
+    axis, then 1x1 matmul (active_mlp.py:65-81). ``band`` selects the banded
+    sampler (exact for |offset| ≤ band)."""
     axis = 1 if dimension == "h" else 2
-    y = _hat_sample_1d(x, offset, axis, share=share)
+    if band is not None:
+        y = _hat_sample_1d_banded(x, offset, axis, share=share, band=band)
+    else:
+        y = _hat_sample_1d(x, offset, axis, share=share)
     out = jnp.matmul(y, p["weight"][:, :, 0, 0].T, precision=nnf._prec())
     if "bias" in p and p["bias"] is not None:
         out = out + p["bias"]

@@ -127,6 +127,57 @@ def test_hat_sample_matches_gather_oracle():
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                        err_msg=f"axis={axis} share={share}")
 
+def test_hat_sample_banded_matches_exact_in_band():
+    """_hat_sample_1d_banded == _hat_sample_1d whenever |offset| <= band, and
+    saturates (clips the offset to +-band) beyond it. The banded path is the
+    opt-in ActiveMLP(offset_band=) fast sampler: O(band) static shifts on the
+    VPU instead of the O(n) hat-matrix MXU contraction."""
+    from jittor_mlp_tpu.ops.deform import _hat_sample_1d, _hat_sample_1d_banded
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 9, 7, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    for axis in (1, 2):
+        for share in (1, 2):
+            g = C // share
+            off = rng.uniform(-3.9, 3.9, (B, H, W, g)).astype("float32")
+            off = np.repeat(off, share, axis=-1)
+            want = np.asarray(_hat_sample_1d(x, jnp.asarray(off), axis, share))
+            got = np.asarray(
+                _hat_sample_1d_banded(x, jnp.asarray(off), axis, share, band=4)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"axis={axis} share={share}")
+            # out-of-band offsets saturate at the band edge
+            off2 = np.repeat(
+                rng.uniform(5.0, 9.0, (B, H, W, g)).astype("float32"),
+                share, axis=-1)
+            sat = np.asarray(
+                _hat_sample_1d(x, jnp.asarray(np.full_like(off2, 4.0)), axis,
+                               share))
+            got2 = np.asarray(
+                _hat_sample_1d_banded(x, jnp.asarray(off2), axis, share,
+                                      band=4))
+            np.testing.assert_allclose(got2, sat, rtol=1e-5, atol=1e-5)
+
+
+def test_active_mlp_banded_model_agrees():
+    """Full ActiveMLP forward with offset_band set agrees with the exact path
+    when the learned offsets are within the band (true at init: offsets come
+    from a zero-ish linear layer, |off| << 1)."""
+    from jittor_mlp_tpu.models.active_mlp import ActiveMLP
+
+    kw = dict(img_size=32, depths=[2, 2], embed_dims=[32, 64],
+              mlp_ratios=[2, 2], share_dims=[2, 2], num_classes=10, seed=3)
+    m_exact = ActiveMLP(**kw)
+    m_band = ActiveMLP(offset_band=4, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 3, 32, 32)), jnp.float32)
+    a = np.asarray(m_exact.apply(m_exact.params, x, train=False))
+    b = np.asarray(m_band.apply(m_band.params, x, train=False))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_dcn_module_torch_import_parity():
     """Mirror of the reference's test_conv (dcn_v2.py:1485-1496) with weight
     import: a torch DCN twin (conv_offset_mask Conv2d + deform_conv2d, per
