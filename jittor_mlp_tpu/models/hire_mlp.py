@@ -86,9 +86,11 @@ def _ff_fold_h(p, x5, C, h):
     """x5 (B, h, gh, Wp, C) → FF over the (C, h) region jointly → same shape."""
     f = x5.dtype
     w0, b0, w2, b2 = _ff_weights(p, C, h)
-    t = jnp.einsum("bhgwc,kch->bgwk", x5, w0.astype(f)) + b0.astype(f)
+    t = jnp.einsum("bhgwc,kch->bgwk", x5, w0.astype(f),
+                   precision=nnf._prec()) + b0.astype(f)
     t = nnf.gelu(t)
-    y = jnp.einsum("bgwk,chk->bhgwc", t, w2.astype(f))
+    y = jnp.einsum("bgwk,chk->bhgwc", t, w2.astype(f),
+                   precision=nnf._prec())
     return y + b2.astype(f).reshape(C, h).T[None, :, None, None, :]
 
 
@@ -96,9 +98,11 @@ def _ff_fold_w(p, x5, C, w):
     """x5 (B, Hp, w, gw, C) → FF over the (C, w) region jointly → same shape."""
     f = x5.dtype
     w0, b0, w2, b2 = _ff_weights(p, C, w)
-    t = jnp.einsum("bhwgc,kcw->bhgk", x5, w0.astype(f)) + b0.astype(f)
+    t = jnp.einsum("bhwgc,kcw->bhgk", x5, w0.astype(f),
+                   precision=nnf._prec()) + b0.astype(f)
     t = nnf.gelu(t)
-    y = jnp.einsum("bhgk,cwk->bhwgc", t, w2.astype(f))
+    y = jnp.einsum("bhgk,cwk->bhwgc", t, w2.astype(f),
+                   precision=nnf._prec())
     return y + b2.astype(f).reshape(C, w).T[None, None, :, None, :]
 
 
