@@ -18,10 +18,10 @@ BN-bearing models the reference's running stats are first recalibrated on a
 few batches (ref_loader.recalibrate_ref_bn) — untrained mean=0/var=1 stats
 let activation scale cascade to ~1e5 in eval mode, where absolute error is
 meaningless; with calibrated stats every model meets the strict gate on CPU.
-With --device tpu, deep norm/recurrence-heavy models accumulate TPU fp32
-numerics drift (rsqrt/transcendental approximations, reduction order):
-~6e-4 CycleMLP-B2, ~1e-3 sequencer-S, ~6e-3 AS-MLP — hardware numerics, not
-implementation deviation; parity claims are the CPU numbers.
+With --device tpu the same strict gate passes 23/23 (PARITY_TPU.md):
+under parity_mode (precision=highest) with on-device diff statistics the
+worst on-chip row is ConvMixer at 7.3e-5 max-abs; see PARITY_TPU.md's
+numerics note for the per-op attribution of the residual drift.
 """
 
 from __future__ import annotations
