@@ -208,16 +208,30 @@ def run_throughput(name, batch=32, iters=20, image_size=224):
         )
 
 
-def run_train_throughput(name, batch=32, iters=10, image_size=224):
+def run_train_throughput(name, batch=32, iters=10, image_size=224,
+                         try_remat=False):
     """Mixed-precision training img/s: full fwd+bwd+adamw steps inside one
     jitted fori_loop (f32 masters, bf16 compute — the production recipe),
     timed t(N)−t(1) with a scalar fetch. Models whose backward doesn't fit
     HBM retry under config.remat_mode() (zoo-wide block checkpointing);
-    returns (img_s, remat_used)."""
+    returns (img_s, remat_used).
+
+    ``try_remat=True`` measures the remat step even when the plain one fits
+    and reports whichever is faster: recomputing blocks can BEAT storing
+    their activations when the stored intermediates have TPU-hostile
+    layouts (measured on dyna_mlp: 301 plain vs 394 img/s remat — the
+    backward of 16k-batched 16×16 matmuls reloads tiny-tile buffers at
+    worse cost than re-running the forward)."""
     from jittor_mlp_tpu import config as _cfg
 
     try:
-        return _run_train_throughput(name, batch, iters, image_size), False
+        plain = _run_train_throughput(name, batch, iters, image_size)
+        if try_remat:
+            with _cfg.remat_mode():
+                rem = _run_train_throughput(name, batch, iters, image_size)
+            if rem > plain:
+                return rem, True
+        return plain, False
     except Exception as e:
         # retry ONLY explicit memory failures — anything else is a real bug
         # whose original error must surface, not a mislabeled '(remat)' rerun
@@ -314,6 +328,9 @@ def main():
     ap.add_argument("--skip-throughput", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="also measure mixed-precision training img/s")
+    ap.add_argument("--try-remat", action="store_true",
+                    help="with --train: also measure the remat step and "
+                         "report the faster of the two")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="append one JSON record per model to PATH "
                          "(machine-readable BENCHMARKS sweep)")
@@ -374,7 +391,7 @@ def main():
         try:
             tfps, remat = run_train_throughput(
                 args.model, batch=args.batch, iters=max(args.iters // 2, 5),
-                image_size=args.image_size,
+                image_size=args.image_size, try_remat=args.try_remat,
             )
             record.update(train_fps=tfps, train_batch=args.batch,
                           train_remat=remat)

@@ -40,7 +40,8 @@ def _bn_nchw_grouped(p, x, train=False, eps=1e-5):
         mean = jnp.mean(xf, axis=(0, 2, 3))
         var = jnp.var(xf, axis=(0, 2, 3))
         if nnf._bn_sink is not None and "_bn_id" in p:
-            nnf._bn_sink.append((p["_bn_id"], mean, var))
+            n = jnp.float32(x.size // x.shape[1])
+            nnf._bn_sink.append((p["_bn_id"], mean, var, n))
     else:
         mean = p["running_mean"].astype(jnp.float32)
         var = p["running_var"].astype(jnp.float32)
@@ -50,6 +51,36 @@ def _bn_nchw_grouped(p, x, train=False, eps=1e-5):
     shift = p["bias"].astype(jnp.float32) - mean * scale
     return (x * scale.astype(x.dtype)[None, :, None, None]
             + shift.astype(x.dtype)[None, :, None, None])
+
+
+def _conv_bn_tiled(p, xl, rep, k, train, eps=1e-5):
+    """repconv{k} + BN on the full C-channel NHWC map (hp == wp == 1 path).
+
+    Depthwise conv with the (S, 1, k, k) shareset kernel tiled rep = C/S
+    times; BN statistics are pooled across the rep replicas of each
+    shareset so train-mode semantics equal the reference's grouped
+    (N·C/S, S, h, w) BatchNorm2d (repmlpnet.py:14-24)."""
+    S = p["conv"]["weight"].shape[0]
+    C = S * rep
+    w_dw = jnp.tile(p["conv"]["weight"], (rep, 1, 1, 1))
+    y = nnf.conv2d({"weight": w_dw}, xl, padding=k // 2, groups=C)
+    bn = p["bn"]
+    if train:
+        yf = y.astype(jnp.float32)
+        m_c = jnp.mean(yf, axis=(0, 1, 2))
+        e2_c = jnp.mean(yf * yf, axis=(0, 1, 2))
+        mean = m_c.reshape(rep, S).mean(0)
+        var = e2_c.reshape(rep, S).mean(0) - mean * mean
+        if nnf._bn_sink is not None and "_bn_id" in bn:
+            n = jnp.float32(y.size // S)
+            nnf._bn_sink.append((bn["_bn_id"], mean, var, n))
+    else:
+        mean = bn["running_mean"].astype(jnp.float32)
+        var = bn["running_var"].astype(jnp.float32)
+    scale = bn["weight"].astype(jnp.float32) / jnp.sqrt(var + eps)
+    shift = bn["bias"].astype(jnp.float32) - mean * scale
+    return (y * jnp.tile(scale, rep).astype(y.dtype)
+            + jnp.tile(shift, rep).astype(y.dtype))
 
 
 def _repmlp_block(bp, x, C, S, h, w, reparam_conv_k, deploy, train):
@@ -80,13 +111,34 @@ def _repmlp_block(bp, x, C, S, h, w, reparam_conv_k, deploy, train):
 
     # Local Perceptron (ln 118-125)
     if reparam_conv_k is not None and not deploy:
-        conv_in = parts.reshape(-1, S, h, w).transpose(0, 2, 3, 1)  # NHWC
-        conv_out = 0
-        for k in reparam_conv_k:
-            conv_out = conv_out + _conv_bn(
-                bp[f"repconv{k}"], conv_in, padding=k // 2, groups=S, train=train
+        if hp == 1 and wp == 1:
+            # Tile == whole map (every driver config: hs == H per stage).
+            # The reference's grouped conv runs with only S in-channels
+            # (S = 1/4/32/128 over the stages) — 1/128 lane utilization at
+            # stage 0. Same math, full lanes: a C-channel depthwise conv on
+            # the unpartitioned NHWC map with the shareset kernel tiled
+            # C/S× (channel c of the (g·S + s) partition order uses kernel
+            # s = c mod S, matching fc_in's reshape(-1, S, h·w) grouping).
+            xl = x.transpose(0, 2, 3, 1)  # (N, h, w, C)
+            conv_out = 0
+            for k in reparam_conv_k:
+                conv_out = conv_out + _conv_bn_tiled(
+                    bp[f"repconv{k}"], xl, C // S, k, train
+                )
+            conv_out = conv_out.transpose(0, 3, 1, 2).reshape(
+                -1, 1, 1, S, h, w
             )
-        conv_out = conv_out.transpose(0, 3, 1, 2).reshape(-1, hp, wp, S, h, w)
+        else:
+            conv_in = parts.reshape(-1, S, h, w).transpose(0, 2, 3, 1)
+            conv_out = 0
+            for k in reparam_conv_k:
+                conv_out = conv_out + _conv_bn(
+                    bp[f"repconv{k}"], conv_in, padding=k // 2, groups=S,
+                    train=train,
+                )
+            conv_out = conv_out.transpose(0, 3, 1, 2).reshape(
+                -1, hp, wp, S, h, w
+            )
         fc3_out = fc3_out + conv_out
 
     out = fc3_out.transpose(0, 3, 1, 4, 2, 5).reshape(N, C, H, W)

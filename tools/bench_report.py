@@ -14,13 +14,18 @@ NOTES = {
                   "dw kernel cannot beat it (see BENCHMARKS notes)",
     "dyna_mlp": "content-dependent per-(row,segment) W×W attention = 16k-batched "
                 "16×16 matmuls/layer — MXU-utilization-bound, restructuring "
-                "measured slower",
+                "measured slower; train under remat beats storing the tiny "
+                "attention tiles (294 → 388)",
     "active_mlp": "learned float offsets: dense hat-function bilinear "
                   "contraction (85× over gather lowering; 15 GF/img vs "
                   "CycleMLP's 2.4)",
+    "repmlpnet": "Local-Perceptron repconv as a full-C tiled depthwise conv "
+                 "(the reference's grouped layout uses S=1..128 in-channels "
+                 "= 1/128 lanes at stage 0): fwd 3,598 → 5,327; train under "
+                 "remat (docs/PERFORMANCE.md tail anatomy): 344 → 997",
     "hire_mlp": "inner-region transposes folded into the FF contractions "
                 "(dot_general over the joint (C, region) axes): 1,489 → "
-                "3,229 img/s",
+                "3,229 img/s; train under remat 437 → 688",
     "gfnet_h_b": "rfft2/irfft2 factored into per-axis DFT matmuls on the MXU "
                  "(XLA's TPU FFT is 6.5–10× slower at the 56²/28² stages): "
                  "1,461 → 3,689 img/s",

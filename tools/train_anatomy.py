@@ -46,11 +46,14 @@ def _timed_loop(fn_step, init_carry, iters):
             return fn_step(i, c)
 
         out = lax.fori_loop(0, steps, body, carry)
-        return jax.tree.map(
-            lambda v: jnp.sum(v.astype(jnp.float32))
-            if hasattr(v, "astype") else v,
-            jax.tree.leaves(out)[0],
-        )
+        # reduce over EVERY leaf: the carry holds pass-through params plus
+        # the data-dependent accumulator, and only a returned value keeps
+        # the loop body from being dead-code-eliminated
+        total = jnp.float32(0)
+        for v in jax.tree.leaves(out):
+            if hasattr(v, "astype"):
+                total = total + jnp.sum(v.astype(jnp.float32))
+        return total
 
     def t(k):
         best = float("inf")
@@ -98,6 +101,10 @@ def anatomy(name, batch=32, iters=8, image_size=224):
         xb = jnp.asarray(x)
         lb = jnp.asarray(labels)
 
+        # params always travel in the loop carry (returned unchanged), so
+        # they are jit ARGUMENTS — closing over them inlines the whole tree
+        # as MLIR constants and blows the remote-compile payload limit on
+        # large models (repmlpnet 68M params -> HTTP 413)
         def loss_fn(train, acc, rng):
             full = merge_params(train, aux, treedef, n)
             full = cast_floating(full, jnp.bfloat16)
@@ -109,36 +116,57 @@ def anatomy(name, batch=32, iters=8, image_size=224):
         bf16_params = cast_floating(ours.params, jnp.bfloat16)
 
         def fwd_step(i, c):
-            out = apply(bf16_params, (xb + c[0] * 1e-8).astype(jnp.bfloat16))
-            return (jnp.sum(out.astype(jnp.float32)),)
+            p, acc = c
+            out = apply(p, (xb + acc * 1e-8).astype(jnp.bfloat16))
+            return (p, jnp.sum(out.astype(jnp.float32)))
 
-        results["fwd"] = _timed_loop(fwd_step, (jnp.float32(0),), iters * 2)
+        results["fwd"] = _timed_loop(
+            fwd_step, (bf16_params, jnp.float32(0)), iters * 2
+        )
 
         # fwd in train mode
         def fwdt_step(i, c):
+            train, acc = c
             rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
-            full = cast_floating(merge_params(train0, aux, treedef, n),
+            full = cast_floating(merge_params(train, aux, treedef, n),
                                  jnp.bfloat16)
-            out = apply(full, (xb + c[0] * 1e-8).astype(jnp.bfloat16),
+            out = apply(full, (xb + acc * 1e-8).astype(jnp.bfloat16),
                         train=True, rng=rng)
-            return (jnp.sum(out.astype(jnp.float32)),)
+            return (train, jnp.sum(out.astype(jnp.float32)))
 
-        results["fwd_train"] = _timed_loop(fwdt_step, (jnp.float32(0),), iters)
+        results["fwd_train"] = _timed_loop(
+            fwdt_step, (train0, jnp.float32(0)), iters
+        )
+
+        def _try(key, fn, *a):
+            # the no-remat backward can exceed HBM (conv_mixer: 55 GB of
+            # scan-stacked activations at b32) — record the OOM instead of
+            # dying so the rest of the tail still measures
+            try:
+                results[key] = fn(*a)
+            except Exception as e:
+                msg = str(e)
+                if ("RESOURCE_EXHAUSTED" in msg or "hbm" in msg
+                        or "out of memory" in msg.lower()):
+                    results[key] = None
+                    print(f"  [{key}: HBM OOM — skipped]")
+                else:
+                    raise
 
         # grad only
         def grad_step(i, c):
+            train, acc = c
             rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
-            loss, grads = jax.value_and_grad(loss_fn)(train0, c[0], rng)
+            loss, grads = jax.value_and_grad(loss_fn)(train, acc, rng)
             gsum = sum(jnp.sum(g.astype(jnp.float32))
                        for g in jax.tree.leaves(grads))
-            return (loss + 1e-12 * gsum,)
+            return (train, loss + 1e-12 * gsum)
 
-        results["grad"] = _timed_loop(grad_step, (jnp.float32(0),), iters)
+        _try("grad", _timed_loop, grad_step, (train0, jnp.float32(0)), iters)
 
         with config.remat_mode():
-            results["grad_remat"] = _timed_loop(
-                grad_step, (jnp.float32(0),), iters
-            )
+            _try("grad_remat", _timed_loop, grad_step,
+                 (train0, jnp.float32(0)), iters)
 
         # full step
         def full_step(i, c):
@@ -149,14 +177,19 @@ def anatomy(name, batch=32, iters=8, image_size=224):
             return (optax.apply_updates(train, updates), opt_state,
                     acc + loss)
 
-        results["step"] = _timed_loop(
-            full_step, (train0, opt0, jnp.float32(0)), iters
-        )
+        _try("step", _timed_loop, full_step, (train0, opt0, jnp.float32(0)),
+             iters)
+        if results.get("step") is None:
+            with config.remat_mode():
+                _try("step_remat", _timed_loop, full_step,
+                     (train0, opt0, jnp.float32(0)), iters)
 
     print(f"== {name} (b{batch}) ==")
     f = results["fwd"]
-    for k in ("fwd", "fwd_train", "grad", "grad_remat", "step"):
-        v = results[k]
+    for k in ("fwd", "fwd_train", "grad", "grad_remat", "step", "step_remat"):
+        v = results.get(k)
+        if v is None:
+            continue
         print(f"{k:>10}: {v*1e3:8.2f} ms  {batch/v:8.0f} img/s  "
               f"({v/f:4.1f}x fwd)")
     return results
