@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="bf16 forward/backward, f32 master weights")
+    ap.add_argument("--remat", choices=["auto", "on", "off"], default="auto",
+                    help="block rematerialization: 'auto' uses the measured "
+                         "best-known setting for this model "
+                         "(jittor_mlp_tpu.tuned, from the on-chip train "
+                         "sweep); on TPU remat is often faster, not just "
+                         "smaller (docs/PERFORMANCE.md)")
     ap.add_argument("--data-dir", default=None,
                     help="ImageFolder-style dataset root (default: synthetic)")
     ap.add_argument("--metrics", default=None,
@@ -73,6 +79,20 @@ def main():
                       depth=6, num_classes=args.classes)
     model = getattr(jm, args.model)(**kwargs)
     print(f"{args.model}: {model.param_count():,} params")
+
+    if args.remat == "auto":
+        from jittor_mlp_tpu.tuned import train_settings
+
+        ts = train_settings(args.model)
+        use_remat = bool(ts and ts["remat"])
+        if ts:
+            print(f"remat: {'on' if use_remat else 'off'} "
+                  f"(measured best, {ts['img_s']:,.0f} img/s at "
+                  f"b{ts['batch']} on v5e)")
+    else:
+        use_remat = args.remat == "on"
+    # trace-time flag: must be set before the train step's first call
+    config.remat = use_remat
 
     n_dev = len(jax.devices())
     mp = args.model_parallel
