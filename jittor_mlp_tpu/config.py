@@ -17,6 +17,7 @@ import jax.numpy as jnp
 matmul_precision = None  # None → jax default; or 'highest' for parity on TPU
 compute_dtype = jnp.float32
 remat = False  # wrap every scanned block in jax.checkpoint (training memory)
+int8_matmul = False  # route dense ops through dynamic W8A8 int8 (inference)
 # When truthy, Model.__call__ compiles with XLA's low-effort knobs
 # (exec_time_optimization_effort/memory_fitting_effort = -1). Numerics-only
 # runs (parity sweeps) set this via env JMT_FAST_COMPILE=1 when a model's
@@ -72,6 +73,28 @@ def bf16_mode():
         yield
     finally:
         matmul_precision, compute_dtype = old
+
+
+@contextmanager
+def int8_mode():
+    """Dynamic W8A8 int8 inference on every dense op (serving).
+
+    Inside the context, nnf.linear / conv1x1 / the 1x1-conv fast path /
+    patch_embed / conv1d_token quantize activations per-token and weights
+    per-output-channel on the fly and run the contraction as an
+    int8×int8→int32 ``lax.dot_general`` — the v5e MXU executes int8 at 2×
+    its bf16 FLOP rate (394 vs 197 TOPS), so matmul-bound models gain up to
+    2× with no calibration pass (scales are computed from the live tensor,
+    never stale). Inference-only: jnp.round's gradient is zero, so a train
+    step traced under this context would produce null weight grads.
+    Accuracy is pinned by tests/test_int8.py (logit deviation bounds)."""
+    global int8_matmul
+    old = int8_matmul
+    int8_matmul = True
+    try:
+        yield
+    finally:
+        int8_matmul = old
 
 
 def enable_compile_cache(path=None):

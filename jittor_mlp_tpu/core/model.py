@@ -129,7 +129,7 @@ class Model:
 
     def _jitted(self):
         key = (config.compute_dtype, config.matmul_precision, config.remat,
-               self.training, config.fast_compile)
+               self.training, config.fast_compile, config.int8_matmul)
         fn = self._jit_cache.get(key)
         if fn is None:
             train = self.training

@@ -31,6 +31,16 @@ def _prec():
     return config.matmul_precision
 
 
+def _dense(x, wt):
+    """x @ wt on the dense-op serving path: f32/bf16 MXU matmul normally,
+    dynamic W8A8 int8 (2× MXU rate) under config.int8_mode()."""
+    if config.int8_matmul:
+        from .. import quant
+
+        return quant.dynamic_int8_matmul(x, wt)
+    return jnp.matmul(x, wt, precision=_prec())
+
+
 def gelu(x):
     """torch nn.GELU() / F.gelu default: exact erf variant.
 
@@ -67,7 +77,7 @@ def softmax(x, axis=-1):
 def linear(p, x):
     """torch nn.Linear: x[..., in] @ weight(out, in)^T + bias."""
     w = p["weight"]
-    y = jnp.matmul(x, w.T, precision=_prec())
+    y = _dense(x, w.T)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"]
     return y
@@ -76,7 +86,7 @@ def linear(p, x):
 def conv1x1(p, x):
     """torch nn.Conv2d(k=1) on channel-last data as a matmul: weight
     (O, I, 1, 1) → x[..., I] @ W^T (+ bias). Honors the precision knob."""
-    y = jnp.matmul(x, p["weight"][:, :, 0, 0].T, precision=_prec())
+    y = _dense(x, p["weight"][:, :, 0, 0].T)
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"]
     return y
@@ -90,7 +100,13 @@ def conv1d_token(p, x):
     On TPU this is a plain matmul on the token axis → MXU.
     """
     w = p["weight"][:, :, 0]  # (N_out, N_in)
-    y = jnp.einsum("oi,...id->...od", w, x, precision=_prec())
+    if config.int8_matmul:
+        # contraction runs over the token axis: move it last so the dynamic
+        # per-token activation scales of _dense cover the contracted slice
+        y = _dense(jnp.swapaxes(x, -1, -2), w.T)  # (..., D, N_out)
+        y = jnp.swapaxes(y, -1, -2)
+    else:
+        y = jnp.einsum("oi,...id->...od", w, x, precision=_prec())
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"][..., :, None]
     return y
@@ -130,7 +146,7 @@ def conv2d(p, x, stride=1, padding=0, groups=1, dilation=1):
         # (gelu/BN) XLA fuses; convolution HLO is a library call that
         # materializes its output first (measured: pw-conv+gelu+bn 1.50 ms
         # vs fused matmul form 0.43 ms at 64×32×32×768 bf16).
-        y = jnp.matmul(x, w[:, :, 0, 0].T.astype(x.dtype), precision=_prec())
+        y = _dense(x, w[:, :, 0, 0].T.astype(x.dtype))
         if "bias" in p and p["bias"] is not None:
             y = y + p["bias"]
         return y
@@ -162,7 +178,7 @@ def patch_embed(p, x, patch_size):
     x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H/p, W/p, C, ph, pw
     x = x.reshape(B, H // ph, W // pw, C * ph * pw)
     w = p["weight"].reshape(p["weight"].shape[0], -1)  # (O, C*ph*pw)
-    y = jnp.matmul(x, w.T.astype(x.dtype), precision=_prec())
+    y = _dense(x, w.T.astype(x.dtype))
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"]
     return y

@@ -98,6 +98,34 @@ def dequantize_tree(qparams, dtype=jnp.bfloat16):
     return walk(qparams)
 
 
+def dynamic_int8_matmul(x, wt):
+    """``x @ wt`` as a dynamic W8A8 int8 contraction (inference serving).
+
+    Per-token symmetric activation scales (absmax over the contracted axis,
+    computed from the live tensor — no calibration pass to go stale) and
+    per-output-channel weight scales; the contraction itself is an
+    int8×int8→int32 ``lax.dot_general``, which the TPU MXU executes at 2×
+    its bf16 FLOP rate. The f32 rescale epilogue fuses into the matmul.
+
+    x: (..., I); wt: (I, O) → (..., O) in x's dtype. Used by the nnf dense
+    ops under ``config.int8_mode()``; per-element input error is ≤ absmax/254
+    (≈0.4% relative for normal data), pinned end-to-end by tests/test_int8.py.
+    """
+    xf = jnp.asarray(x, jnp.float32)
+    wf = jnp.asarray(wt, jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.where(ax > 0, ax / 127.0, 1.0)
+    aw = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    sw = jnp.where(aw > 0, aw / 127.0, 1.0)
+    qx = jnp.round(xf / sx).astype(jnp.int8)  # |xf| ≤ ax → no clip needed
+    qw = jnp.round(wf / sw).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qx, qw, (((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * sw).astype(jnp.asarray(x).dtype)
+
+
 def quantized_nbytes(qparams):
     """Total payload bytes (int8 + scales + passthrough leaves)."""
     return sum(

@@ -29,10 +29,14 @@ from .data.preprocess import IMAGENET_MEAN, IMAGENET_STD
 class Predictor:
     def __init__(self, model, batch_size=8, image_size=224, top_k=5,
                  bf16=True, mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                 preprocess=True, weights=None):
+                 preprocess=True, weights=None, compute=None):
         """weights="int8": ship weights to the device as per-channel int8
         (quarter of the fp32 bytes over the host link) and dequantize on
-        device to the compute dtype — see quant.py for the error bound."""
+        device to the compute dtype — see quant.py for the error bound.
+
+        compute="int8": run every dense contraction as dynamic W8A8 int8
+        (config.int8_mode) — the TPU MXU executes int8 at 2× its bf16 FLOP
+        rate; accuracy bounds in tests/test_int8.py."""
         self.model = model.eval()
         if weights == "int8":
             from .quant import dequantize_tree, quantize_tree
@@ -43,6 +47,8 @@ class Predictor:
             )
         elif weights is not None:
             raise ValueError(f"unknown weights option {weights!r}")
+        if compute not in (None, "int8"):
+            raise ValueError(f"unknown compute option {compute!r}")
         if bf16:
             self.model.to_bf16()
         self.batch_size = batch_size
@@ -68,7 +74,19 @@ class Predictor:
                 x = jnp.transpose(x, (0, 3, 1, 2))
             else:
                 x = images
-            logits = apply(params, x.astype(dtype)).astype(jnp.float32)
+            if compute == "int8":
+                # trace-time flag: the jit trace of this fwd routes every
+                # nnf dense op through quant.dynamic_int8_matmul
+                from . import config as _cfg
+
+                old = _cfg.int8_matmul
+                _cfg.int8_matmul = True
+                try:
+                    logits = apply(params, x.astype(dtype)).astype(jnp.float32)
+                finally:
+                    _cfg.int8_matmul = old
+            else:
+                logits = apply(params, x.astype(dtype)).astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
             top = jax.lax.top_k(probs, top_k)
             return top[1], top[0]  # (indices, probabilities)

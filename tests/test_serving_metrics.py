@@ -52,3 +52,21 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert cols["step"] == [0, 1, 2]
     assert cols["loss"] == [1.5, 1.25, 1.0]
     assert all(t >= 0 for t in cols["time"])
+
+
+def test_predictor_int8_compute():
+    """compute="int8" serves through the dynamic W8A8 path: probabilities
+    stay close to the f32 predictor's and the flag doesn't leak out."""
+    from jittor_mlp_tpu import config
+
+    m = _tiny_model()
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8
+    )
+    _, probs_f32 = jm.Predictor(m, batch_size=4, image_size=32, top_k=10,
+                                bf16=False).warmup().predict(imgs)
+    _, probs_q = jm.Predictor(m, batch_size=4, image_size=32, top_k=10,
+                              bf16=False, compute="int8").warmup().predict(imgs)
+    assert not config.int8_matmul
+    assert np.all(np.isfinite(probs_q))
+    assert np.abs(probs_q - probs_f32).max() < 5e-2
