@@ -99,11 +99,16 @@ def MLPMixerForImageClassification(
             x = nnf.global_avg_pool_tokens(x)
             return nnf.linear(params["head"], x)
 
+        from .. import config as _cfg
+
         if (
             use_pallas
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
+            # int8_mode must reach the block matmuls: fall back to the nnf
+            # path, whose dense ops route through dynamic_int8_matmul
+            and not _cfg.int8_matmul
         ):
             # train mode uses the custom-VJP variant (Pallas forward, XLA
             # backward); the mixer has no dropout so train == eval math

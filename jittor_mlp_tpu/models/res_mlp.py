@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as _cfg
 from ..core import nnf, pytree
 from ..core.init import SDBuilder
 from ..core.model import Model
@@ -57,6 +58,9 @@ def ResMLPForImageClassification(
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
+            # int8_mode must reach the block matmuls: fall back to the nnf
+            # path, whose dense ops route through dynamic_int8_matmul
+            and not _cfg.int8_matmul
         ):
             # train mode uses the custom-VJP variant (Pallas forward, XLA
             # backward); the block has no dropout so train == eval math
