@@ -193,14 +193,19 @@ def run_parity(name, batch=2, image_size=224, cache_ref=None):
     }
 
 
-def run_throughput(name, batch=32, iters=20, image_size=224):
-    """bf16 images/sec via the shared scalar-fetch protocol (utils/timing.py)."""
+def run_throughput(name, batch=32, iters=20, image_size=224, int8=False):
+    """bf16 images/sec via the shared scalar-fetch protocol (utils/timing.py).
+
+    ``int8=True`` measures the dynamic W8A8 serving path instead
+    (config.int8_mode: dense contractions as int8×int8→int32 on the MXU)."""
+    from contextlib import nullcontext
+
     from jittor_mlp_tpu import config
     from jittor_mlp_tpu.utils.timing import throughput
 
     ours = build_ours(name)
     ours.to_bf16()
-    with config.bf16_mode():
+    with config.bf16_mode(), (config.int8_mode() if int8 else nullcontext()):
         return throughput(
             ours.apply, ours.params,
             (batch, 3, image_size, image_size),
@@ -328,6 +333,9 @@ def main():
     ap.add_argument("--skip-throughput", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="also measure mixed-precision training img/s")
+    ap.add_argument("--int8", action="store_true",
+                    help="also measure forward throughput under "
+                         "config.int8_mode (dynamic W8A8 serving path)")
     ap.add_argument("--try-remat", action="store_true",
                     help="with --train: also measure the remat step and "
                          "report the faster of the two")
@@ -386,6 +394,13 @@ def main():
                       backend=jax.default_backend())
         print(f"throughput: {fps:,.0f} images/sec (batch {args.batch}, "
               f"{args.iters} iters, {jax.default_backend()})")
+        if args.int8:
+            qfps = run_throughput(args.model, batch=args.batch,
+                                  iters=args.iters,
+                                  image_size=args.image_size, int8=True)
+            record.update(int8_fps=qfps)
+            print(f"int8 throughput: {qfps:,.0f} images/sec "
+                  f"(dynamic W8A8, {qfps / fps:.2f}x bf16)")
 
     if args.train:
         try:

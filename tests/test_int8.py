@@ -95,3 +95,21 @@ def test_conv1d_token_int8_path():
     assert q.shape == exact.shape
     rel = np.linalg.norm(q - exact) / np.linalg.norm(exact)
     assert rel < 2e-2, rel
+
+
+def test_int8_under_spmd_mesh():
+    """int8_mode composes with Model.shard (DP+TP): the int8 dot_general
+    shards like the f32 one and agrees with the unsharded int8 forward."""
+    from jittor_mlp_tpu.parallel import make_mesh
+
+    model = jm.MLPMixerForImageClassification(
+        image_size=32, patch_size=8, num_classes=10, d_model=64, depth=2
+    )
+    x = np.random.default_rng(4).standard_normal((8, 3, 32, 32)).astype(
+        np.float32
+    )
+    with config.int8_mode():
+        want = np.asarray(model(x))
+        model.shard(make_mesh(8, model_parallel=2))
+        got = np.asarray(model(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
