@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--top-k", type=int, default=5)
+    ap.add_argument("--int8", action="store_true",
+                    help="serve through the dynamic W8A8 int8 dense path "
+                         "(2x MXU rate on TPU; see tests/test_int8.py)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,7 +55,7 @@ def main():
     model = getattr(jm, args.model)(**kwargs)
     pred = jm.Predictor(
         model, batch_size=args.batch, image_size=args.image_size,
-        top_k=args.top_k,
+        top_k=args.top_k, compute="int8" if args.int8 else None,
     ).warmup()
     print(f"{args.model} ready on :{args.port} "
           f"(native decode: {decode_available()})")
