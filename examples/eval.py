@@ -74,10 +74,15 @@ def main():
 
     config.enable_compile_cache()
 
-    kwargs = {}
     if args.model == "MLPMixerForImageClassification":
         kwargs = dict(image_size=args.image_size, patch_size=8, d_model=128,
                       depth=6, num_classes=args.classes)
+    else:
+        from jittor_mlp_tpu.utils import sized_kwargs
+
+        kwargs = sized_kwargs(getattr(jm, args.model),
+                              image_size=args.image_size,
+                              num_classes=args.classes)
     model = getattr(jm, args.model)(**kwargs).eval()
     if args.checkpoint:
         load_weights(model, args.checkpoint, bf16=args.bf16)

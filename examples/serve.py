@@ -51,7 +51,13 @@ def main():
 
     config.enable_compile_cache()
 
-    kwargs = {"pretrained": True} if args.pretrained else {}
+    if args.pretrained:
+        kwargs = {"pretrained": True}  # published weights fix the resolution
+    else:
+        from jittor_mlp_tpu.utils import sized_kwargs
+
+        kwargs = sized_kwargs(getattr(jm, args.model),
+                              image_size=args.image_size)
     model = getattr(jm, args.model)(**kwargs)
     pred = jm.Predictor(
         model, batch_size=args.batch, image_size=args.image_size,

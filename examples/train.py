@@ -78,19 +78,11 @@ def main():
         kwargs = dict(image_size=args.image_size, patch_size=8, d_model=128,
                       depth=6, num_classes=args.classes)
     else:
-        # size/class kwargs vary per factory (image_size vs img_size,
-        # num_classes vs n_classes); pass whichever this one accepts so any
-        # zoo model trains at --image-size instead of crashing mid-trace on
-        # its 224 default
-        import inspect
+        from jittor_mlp_tpu.utils import sized_kwargs
 
-        accepted = inspect.signature(getattr(jm, args.model)).parameters
-        for k, v in (("image_size", args.image_size),
-                     ("img_size", args.image_size),
-                     ("num_classes", args.classes),
-                     ("n_classes", args.classes)):
-            if k in accepted:
-                kwargs[k] = v
+        kwargs = sized_kwargs(getattr(jm, args.model),
+                              image_size=args.image_size,
+                              num_classes=args.classes)
     model = getattr(jm, args.model)(**kwargs)
     print(f"{args.model}: {model.param_count():,} params")
 

@@ -1,5 +1,5 @@
 from ..core.init import trunc_normal
-from .tools import pair, check_sizes
+from .tools import pair, check_sizes, sized_kwargs
 
 
 def trunc_normal_(shape, mean=0.0, std=1.0, a=-2.0, b=2.0, seed=0):
