@@ -26,12 +26,18 @@ import jax.numpy as jnp
 
 
 def export_forward(model, batch_size=8, image_size=224, in_channels=3,
-                   dtype=jnp.float32, platform=None):
+                   dtype=jnp.float32, platform=None, int8=False):
     """Trace model.apply into a jax.export.Exported with weights embedded.
 
     platform: 'tpu' / 'cpu' / None (current default backend). The input is
     NCHW ``(batch_size, in_channels, image_size, image_size)`` of ``dtype``.
+    ``int8=True`` traces under config.int8_mode, baking the dynamic-W8A8
+    dense path (int8×int8→int32 MXU contractions) into the artifact.
     """
+    from contextlib import nullcontext
+
+    from . import config
+
     params = model.params
     apply = model.apply
 
@@ -42,7 +48,8 @@ def export_forward(model, batch_size=8, image_size=224, in_channels=3,
         (batch_size, in_channels, image_size, image_size), dtype
     )
     platforms = [platform] if platform else None
-    return jax.export.export(jax.jit(fwd), platforms=platforms)(spec)
+    with config.int8_mode() if int8 else nullcontext():
+        return jax.export.export(jax.jit(fwd), platforms=platforms)(spec)
 
 
 def save_exported(model, path, **kwargs):

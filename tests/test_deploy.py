@@ -45,3 +45,27 @@ def test_export_shape_is_fixed(tmp_path):
     fwd = jm.deploy.load_exported(path)
     with pytest.raises(Exception):
         fwd(np.zeros((2, 3, 16, 16), np.float32))  # wrong batch
+
+
+def test_export_int8_bakes_quantized_path(tmp_path):
+    """int8=True traces under int8_mode: the blob reproduces the live
+    int8 forward exactly and differs from the f32 graph's output."""
+    from jittor_mlp_tpu import config
+
+    model = jm.MLPMixerForImageClassification(
+        image_size=16, patch_size=4, d_model=32, depth=2, num_classes=8,
+        use_pallas=False,
+    )
+    x = np.random.default_rng(1).standard_normal((4, 3, 16, 16)).astype(
+        np.float32
+    )
+    f32 = np.asarray(model(x))
+    with config.int8_mode():
+        live_q = np.asarray(model(x))
+
+    path = str(tmp_path / "m_int8.shlo")
+    jm.deploy.save_exported(model, path, batch_size=4, image_size=16,
+                            int8=True)
+    got = np.asarray(jm.deploy.load_exported(path)(x))
+    np.testing.assert_allclose(got, live_q, rtol=1e-6, atol=1e-6)
+    assert np.abs(got - f32).max() > 0  # genuinely the quantized graph
