@@ -116,6 +116,15 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
     state = {"exec_ids": None}
 
     def step(params, opt_state, batch, rng):
+        from .. import config
+
+        if config.int8_matmul:  # trace-time: jnp.round has a zero gradient,
+            # so a backward through the W8A8 path trains nothing, silently
+            raise RuntimeError(
+                "config.int8_mode() is inference-only: the dynamic-int8 "
+                "dense path has zero gradient. Exit the context before "
+                "tracing a train step."
+            )
         train, aux, treedef, n = split_params(params)
         exec_ids = state["exec_ids"]
         collect = bool(exec_ids)

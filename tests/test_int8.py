@@ -113,3 +113,22 @@ def test_int8_under_spmd_mesh():
         model.shard(make_mesh(8, model_parallel=2))
         got = np.asarray(model(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_rejects_int8_mode():
+    import optax
+    import pytest
+
+    from jittor_mlp_tpu.parallel.train import make_train_step
+
+    model = jm.MLPMixerForImageClassification(
+        image_size=16, patch_size=4, d_model=32, depth=2, num_classes=8
+    )
+    step = make_train_step(model.apply, optax.sgd(1e-3))
+    opt_state = optax.sgd(1e-3).init(model.params)
+    batch = {"image": jnp.zeros((2, 3, 16, 16)),
+             "label": jnp.zeros((2,), jnp.int32)}
+    import jax
+
+    with config.int8_mode(), pytest.raises(RuntimeError, match="inference-only"):
+        step(model.params, opt_state, batch, jax.random.PRNGKey(0))
