@@ -85,9 +85,13 @@ def int8_mode():
     int8×int8→int32 ``lax.dot_general`` — the v5e MXU executes int8 at 2×
     its bf16 FLOP rate (394 vs 197 TOPS), so matmul-bound models gain up to
     2× with no calibration pass (scales are computed from the live tensor,
-    never stale). Inference-only: jnp.round's gradient is zero, so a train
-    step traced under this context would produce null weight grads.
-    Accuracy is pinned by tests/test_int8.py (logit deviation bounds)."""
+    never stale). Inference-only: jnp.round's gradient is zero, so
+    make_train_step refuses to trace under this context. Coverage: every
+    dense op routed through nnf (which is where the zoo's matmul FLOPs
+    live); model-specific folded einsum contractions (SwinMLP's 6D window
+    einsum, ViP/Hire folded mixers) stay at full precision — quantization
+    only ever *reduces* precision on the covered ops, never accuracy of
+    the rest. Accuracy pinned by tests/test_int8.py (logit bounds)."""
     global int8_matmul
     old = int8_matmul
     int8_matmul = True
