@@ -62,6 +62,14 @@ def test_single_matmul_error_bound():
      dict(image_size=32, patch_size=8, num_classes=10, d_model=64, depth=3)),
     ("ResMLPForImageClassification",
      dict(image_size=32, patch_size=8, num_classes=10, d_model=48, depth=3)),
+    # BN family: quant error flows through running-stat normalization
+    ("WaveMLP", dict(model_name="T", image_size=32)),
+    # windowed family: folded 6D einsum stays f32, stem/FF/head quantize
+    ("SwinMLP", dict(img_size=32, patch_size=4, embed_dim=16,
+                     depths=[2, 2], num_heads=[2, 4], window_size=4,
+                     num_classes=8)),
+    # deformable family: masked-matmul CycleFC goes through nnf dense ops
+    ("CycleMLP_B1", dict(image_size=32, num_classes=8)),
 ])
 def test_zoo_forward_under_int8_mode(factory, kw):
     model = getattr(jm, factory)(**kw)
