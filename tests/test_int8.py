@@ -140,3 +140,34 @@ def test_train_step_rejects_int8_mode():
 
     with config.int8_mode(), pytest.raises(RuntimeError, match="inference-only"):
         step(model.params, opt_state, batch, jax.random.PRNGKey(0))
+
+
+def test_w8a8_convmlp_full_size_accuracy():
+    """Dynamic W8A8 on the pretrained-format ConvMLP weights at full 224²:
+    logits stay close to fp32 and argmax agrees — the serving-accuracy
+    analog of test_quant.test_int8_convmlp_full_size_accuracy, with
+    activations quantized too."""
+    import sys as _sys
+
+    import torch
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from ref_loader import recalibrate_ref_bn, ref_model
+
+    ref = ref_model("conv_mlp", "convmlp_s")
+    recalibrate_ref_bn(ref)
+    ours = jm.convmlp_s()
+    ours.load_torch_state_dict(ref.state_dict())
+
+    torch.manual_seed(0)
+    x = torch.randn(2, 3, 224, 224).numpy()
+    with config.parity_mode():
+        want = np.asarray(ours(x))
+        with config.int8_mode():
+            got = np.asarray(ours(x))
+
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.1 * scale, (
+        np.abs(got - want).max(), scale
+    )
+    assert (got.argmax(-1) == want.argmax(-1)).all()
