@@ -107,19 +107,19 @@ class Model:
         self._jit_cache.clear()
         return self
 
-    def shard(self, mesh):
+    def shard(self, mesh, min_dim=512):
         """Distribute the model over a ('data', 'model') mesh.
 
         Tensor parallelism: wide FF hidden dimensions shard over 'model',
         small tensors replicate (heuristic in parallel.train.shard_params —
-        works for every zoo model's params tree). Data parallelism:
-        ``__call__`` shards the input batch over 'data' (batch size must be
-        divisible by the data-axis size). XLA's SPMD partitioner inserts the
-        ICI collectives."""
+        works for every zoo model's params tree; ``min_dim`` is the smallest
+        axis worth sharding). Data parallelism: ``__call__`` shards the input
+        batch over 'data' (batch size must be divisible by the data-axis
+        size). XLA's SPMD partitioner inserts the ICI collectives."""
         from ..parallel.train import shard_params
 
         self.params = jax.device_put(
-            self.params, shard_params(self.params, mesh)
+            self.params, shard_params(self.params, mesh, min_dim=min_dim)
         )
         self.mesh = mesh
         self._jit_cache.clear()

@@ -63,11 +63,16 @@ def _leaf_spec(x, model_size, min_dim=512):
     return P(*spec)
 
 
-def shard_params(params, mesh):
-    """NamedSharding tree for a params pytree under a ('data','model') mesh."""
+def shard_params(params, mesh, min_dim=512):
+    """NamedSharding tree for a params pytree under a ('data','model') mesh.
+
+    ``min_dim`` is the smallest axis worth sharding over 'model' (default 512:
+    below that the per-shard matmul tiles underfill the MXU and the all-reduce
+    dominates). Tests drop it to force real TP on tiny configs."""
     model_size = mesh.shape["model"]
     return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, _leaf_spec(x, model_size)), params
+        lambda x: NamedSharding(mesh, _leaf_spec(x, model_size, min_dim)),
+        params,
     )
 
 

@@ -5,11 +5,12 @@ The reference zoo is inference-only, but our framework adds a trainer
 against torch autograd instead of only fused-vs-plain agreement. Executed in
 its own process so jax_enable_x64 never leaks into the main pytest run.
 
-For one LN model (MLP-Mixer) and one BN model (WaveMLP):
+Covers the WHOLE zoo (every family, tiny config — registry in CASES below;
+run ``python _grad_parity_impl.py name...`` for a subset). Per model:
   (a) elementwise dL/dx parity — exercises every layer's backward rule;
   (b) parameter-space directional derivatives dL/dθ·v (torch-gradient
       direction + random directions): our side is jax.jvp with the exact
-      tangent import(θ+v) − import(θ). These models' importers are linear
+      tangent import(θ+v) − import(θ). The importers are linear
       weight-layout reshuffles (reshape/transpose/stack), so this equals the
       pushforward of v through the import map with no finite-difference
       noise (central differences plateaued at ~1e-4 relative; jvp agrees
@@ -40,7 +41,9 @@ def check_model(name, ref, ours, input_shape, n_random_dirs=2):
 
     ref = ref.double().eval()
     ours.load_torch_state_dict(ref.state_dict())
-    assert next(iter(jax.tree.leaves(ours.params))).dtype == jnp.float64
+    # imported weights must be f64 (aux leaves like _dpr stay f32)
+    assert any(leaf.dtype == jnp.float64 for leaf in
+               jax.tree.leaves(ours.params)), "import did not keep f64"
 
     rng = np.random.default_rng(7)
     x_np = rng.standard_normal(input_shape)
@@ -93,7 +96,15 @@ def check_model(name, ref, ours, input_shape, n_random_dirs=2):
         dot_t = float(sum((g_t[n] * v[n]).sum() for n in v))
         sd_plus = {k: (base[k] + v[k] if k in v else base[k]) for k in base}
         p_plus = ours.load_torch_state_dict(sd_plus).params
-        tangent = jax.tree.map(lambda a, b: b - a, p_base, p_plus)
+
+        def tangent_of(a, b):
+            # int leaves (e.g. importer-planted roll steps) take float0
+            # tangents per jax.jvp's contract
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                return b - a
+            return np.zeros(np.shape(a), jax.dtypes.float0)
+
+        tangent = jax.tree.map(tangent_of, p_base, p_plus)
         with config.parity_mode():
             _, dL = jax.jvp(lambda p: loss_fn(p, x_j), (p_base,), (tangent,))
         err = abs(float(dL) - dot_t) / max(1.0, abs(dot_t))
@@ -105,89 +116,361 @@ def check_model(name, ref, ours, input_shape, n_random_dirs=2):
     ours.load_torch_state_dict(base)
 
 
-def main():
-    from ref_loader import load_ref, ref_model
+# ---------------------------------------------------------------------------
+# Whole-zoo case registry: name -> builder() returning
+# (torch reference module, our Model, input_shape). Tiny configs mirror the
+# per-model forward-parity tests; settings-table injections happen inside the
+# builders so cases stay independent.
+# ---------------------------------------------------------------------------
 
+CASES = {}
+
+
+def case(name):
+    def reg(fn):
+        CASES[name] = fn
+        return fn
+    return reg
+
+
+def _functional_shift1(x):
+    # functional S2 shift semantics (Jittor golden, tests/test_s2_jittor_golden)
+    src = x.clone()
+    out = x.clone()
+    b, w, h, c = x.size()
+    out[:, 1:, :, : c // 4] = src[:, : w - 1, :, : c // 4]
+    out[:, : w - 1, :, c // 4 : c // 2] = src[:, 1:, :, c // 4 : c // 2]
+    out[:, :, 1:, c // 2 : c * 3 // 4] = src[:, :, : h - 1, c // 2 : c * 3 // 4]
+    out[:, :, : h - 1, 3 * c // 4 :] = src[:, :, 1:, 3 * c // 4 :]
+    return out
+
+
+def _functional_shift2(x):
+    src = x.clone()
+    out = x.clone()
+    b, w, h, c = x.size()
+    out[:, :, 1:, : c // 4] = src[:, :, : h - 1, : c // 4]
+    out[:, :, : h - 1, c // 4 : c // 2] = src[:, :, 1:, c // 4 : c // 2]
+    out[:, 1:, :, c // 2 : c * 3 // 4] = src[:, : w - 1, :, c // 2 : c * 3 // 4]
+    out[:, : w - 1, :, 3 * c // 4 :] = src[:, 1:, :, 3 * c // 4 :]
+    return out
+
+
+@case("mlp_mixer")
+def _mlp_mixer():
+    # LN model (cites /root/reference/models_pytorch/mlp_mixer.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(image_size=32, patch_size=8, d_model=32, depth=2,
+              num_classes=10)
+    return (ref_model("mlp_mixer", "MLPMixerForImageClassification", **kw),
+            jm.MLPMixerForImageClassification(use_pallas=False, **kw),
+            (2, 3, 32, 32))
+
+
+@case("g_mlp")
+def _g_mlp():
+    # SpatialGatingUnit backward (cites models_pytorch/g_mlp.py:10-22)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(image_size=32, patch_size=8, num_classes=10, d_model=48,
+              d_ffn=96, depth=3)
+    return (ref_model("g_mlp", "gMLPForImageClassification", **kw),
+            jm.gMLPForImageClassification(use_pallas=False, **kw),
+            (2, 3, 32, 32))
+
+
+@case("res_mlp")
+def _res_mlp():
+    # Aff/LayerScale backward (cites models_pytorch/res_mlp.py:11-50)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(in_channels=3, d_model=48, num_classes=10, patch_size=8,
+              image_size=32, depth=3, expansion_factor=2)
+    return (ref_model("res_mlp", "ResMLPForImageClassification", **kw),
+            jm.ResMLPForImageClassification(use_pallas=False, **kw),
+            (2, 3, 32, 32))
+
+
+@case("vip")
+def _vip():
+    # segment-permute contractions + SplitAttention (models_pytorch/vip.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(image_size=32, patch_size=8, num_classes=10, d_model=32,
+              depth=2, segments=4, expansion_factor=2, weighted=True)
+    return (ref_model("vip", "ViP", **kw), jm.ViP(**kw), (2, 3, 32, 32))
+
+
+@case("s2_mlp_v1")
+def _s2_mlp_v1():
+    # functional-shift backward (models_pytorch/s2_mlp_v1.py:15-25 under the
+    # Jittor-golden functional semantics)
+    from ref_loader import load_ref
+    import jittor_mlp_tpu as jm
+
+    v1 = load_ref("s2_mlp_v1")
+    v1.Spatial_Shift.forward = lambda self, x: _functional_shift1(x)
+    kw = dict(image_size=32, patch_size=[4, 2], num_classes=10,
+              d_model=[32, 64], depth=[2, 2], expansion_factor=[2, 2])
+    torch.manual_seed(0)
+    return (v1.S2MLPv1(**kw), jm.models.s2_mlp_v1.S2MLPv1(**kw),
+            (2, 3, 32, 32))
+
+
+@case("s2_mlp_v2")
+def _s2_mlp_v2():
+    from ref_loader import load_ref
+    import jittor_mlp_tpu as jm
+
+    v2 = load_ref("s2_mlp_v2")
+    v2.spatial_shift1 = _functional_shift1
+    v2.spatial_shift2 = _functional_shift2
+    kw = dict(image_size=32, patch_size=[4, 2], num_classes=10,
+              d_model=[32, 64], depth=[2, 2], expansion_factor=[2, 2])
+    torch.manual_seed(0)
+    return (v2.S2MLPv2(**kw), jm.S2MLPv2(**kw), (2, 3, 32, 32))
+
+
+@case("conv_mixer")
+def _conv_mixer():
+    # depthwise same-pad conv + BN backward (models_pytorch/conv_mixer.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(dim=32, depth=3, kernel_size=5, patch_size=4, n_classes=10)
+    return (ref_model("conv_mixer", "ConvMixer", **kw), jm.ConvMixer(**kw),
+            (2, 3, 32, 32))
+
+
+@case("conv_mlp")
+def _conv_mlp():
+    # tokenizer/conv-stage + depthwise connect backward (conv_mlp.py:146-170)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(depth=[1, 2], d_model=[32, 64], expansion_factor=[2, 2],
+              channels=16, n_conv_blocks=2, num_classes=10)
+    return (ref_model("conv_mlp", "ConvMLP", **kw),
+            jm.models.conv_mlp.ConvMLP(**kw), (2, 3, 64, 64))
+
+
+@case("raft_mlp")
+def _raft_mlp():
+    # serial permuted raft blocks + multi-level head fusion (raft_mlp.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    layers = [
+        {"depth": 1, "dim": 16, "patch_size": 4, "raft_size": 2},
+        {"depth": 1, "dim": 32, "patch_size": 2, "raft_size": 2},
+    ]
+    kw = dict(layers=layers, image_size=16, num_classes=10)
+    return (ref_model("raft_mlp", "RaftMLP", **kw), jm.RaftMLP(**kw),
+            (2, 3, 16, 16))
+
+
+@case("sparse_mlp")
+def _sparse_mlp():
+    # H/W mixers + PatchMerging backward (sparse_mlp.py:17-74)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(image_size=32, patch_size=4, num_classes=10, d_model=16,
+              depth=[2, 2], expansion_factor=2)
+    return (ref_model("sparse_mlp", "SparseMLP", **kw), jm.SparseMLP(**kw),
+            (2, 3, 32, 32))
+
+
+@case("hire_mlp")
+def _hire_mlp():
+    # inner-region folded FFs + cross-region roll backward (hire_mlp.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(patch_size=4, num_classes=10, d_model=[16, 32], h=[4, 3],
+              w=[4, 3], cross_region_step=[2, 1], cross_region_interval=2,
+              depth=[2, 3], expansion_factor=2)
+    return (ref_model("hire_mlp", "HireMLP", **kw), jm.HireMLP(**kw),
+            (2, 3, 32, 32))
+
+
+@case("gfnet")
+def _gfnet():
+    # rfft2/irfft2 global filter backward (gfnet.py:47-72); parity_mode uses
+    # the exact-FFT path so this pins the spectral VJP
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=8, num_classes=10, embed_dim=32,
+              depth=3)
+    return (ref_model("gfnet", "GFNet", **kw), jm.GFNet(**kw),
+            (2, 3, 32, 32))
+
+
+@case("gfnet_pyramid")
+def _gfnet_pyramid():
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=4, num_classes=10,
+              embed_dim=[16, 32, 48, 64], depth=[1, 1, 2, 1])
+    return (ref_model("gfnet", "GFNetPyramid", **kw), jm.GFNetPyramid(**kw),
+            (2, 3, 32, 32))
+
+
+@case("cycle_mlp")
+def _cycle_mlp():
+    # masked-matmul CycleFC backward vs torch deform_conv2d (cycle_mlp.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(layers=[1, 2], embed_dims=[16, 32], transitions=[True, True],
+              mlp_ratios=[2, 2], num_classes=10)
+    return (ref_model("cycle_mlp", "CycleNet", **kw),
+            jm.models.cycle_mlp.CycleNet(**kw), (2, 3, 32, 32))
+
+
+@case("as_mlp")
+def _as_mlp():
+    # axial-shift backward (functional lowering mirrored by the Pallas VJP,
+    # ops/pallas/shift_kernel.py); cites models_pytorch/as_mlp.py
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=4, embed_dim=16, depths=[1, 1],
+              shift_size=3, mlp_ratio=2.0, num_classes=10,
+              drop_path_rate=0.0)
+    return (ref_model("as_mlp", "AS_MLP", **kw), jm.AS_MLP(**kw),
+            (2, 3, 32, 32))
+
+
+@case("swin_mlp")
+def _swin_mlp():
+    # windowed grouped-Conv1d spatial MLP backward (swin_mlp.py:99-150)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+              depths=[2, 2], num_heads=[2, 4], window_size=4,
+              drop_path_rate=0.0)
+    return (ref_model("swin_mlp", "SwinMLP", **kw), jm.SwinMLP(**kw),
+            (2, 3, 32, 32))
+
+
+@case("repmlpnet")
+def _repmlpnet():
+    # partition FC + repconv branches + SE gate backward (repmlpnet.py)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(in_channels=3, num_class=10, patch_size=(2, 2),
+              num_blocks=(1, 2), channels=(8, 16), hs=(4, 2), ws=(4, 2),
+              sharesets_nums=(2, 4), reparam_conv_k=(1, 3))
+    return (ref_model("repmlpnet", "RepMLPNet", **kw),
+            jm.models.repmlpnet.RepMLPNet(**kw), (2, 3, 16, 16))
+
+
+@case("wave_mlp")
+def _wave_mlp():
+    # BN model (cites /root/reference/models_pytorch/wave_mlp.py); small
+    # settings injected on both sides as in tests/test_morph_wave_dyna.py
+    from ref_loader import load_ref, ref_model
     import jittor_mlp_tpu as jm
     import jittor_mlp_tpu.models.wave_mlp as jm_wave
 
-    # LN model: MLP-Mixer (cites /root/reference/models_pytorch/mlp_mixer.py)
-    kwargs = dict(image_size=32, patch_size=8, d_model=32, depth=2,
-                  num_classes=10)
-    check_model(
-        "mlp_mixer",
-        ref_model("mlp_mixer", "MLPMixerForImageClassification", **kwargs),
-        jm.MLPMixerForImageClassification(use_pallas=False, **kwargs),
-        (2, 3, 32, 32),
-    )
-
-    # BN model: WaveMLP (cites /root/reference/models_pytorch/wave_mlp.py);
-    # small settings injected on both sides as in tests/test_morph_wave_dyna.py
     WAVE_XS = [[1, 1, 1, 1], [2, 2, 2, 2]]
     load_ref("wave_mlp").wavemlp_settings["XS"] = WAVE_XS
     jm_wave.wavemlp_settings["XS"] = WAVE_XS
-    check_model(
-        "wave_mlp",
-        ref_model("wave_mlp", "WaveMLP", model_name="XS", num_classes=10),
-        jm.WaveMLP(model_name="XS", num_classes=10),
-        (2, 3, 64, 64),
-    )
+    return (ref_model("wave_mlp", "WaveMLP", model_name="XS", num_classes=10),
+            jm.WaveMLP(model_name="XS", num_classes=10), (2, 3, 64, 64))
 
-    # deformable model: CycleMLP (cites /root/reference/models_pytorch/
-    # cycle_mlp.py) — pins the masked-matmul CycleFC lowering's backward
-    # against torch autograd through deform_conv2d
-    cyc = dict(layers=[1, 2], embed_dims=[16, 32], transitions=[True, True],
-               mlp_ratios=[2, 2], num_classes=10)
-    check_model(
-        "cycle_mlp",
-        ref_model("cycle_mlp", "CycleNet", **cyc),
-        jm.models.cycle_mlp.CycleNet(**cyc),
-        (2, 3, 32, 32),
-    )
 
-    # recurrent model: Sequencer2D (cites /root/reference/models_pytorch/
-    # sequencer.py) — pins the lax.scan BiLSTM backward against cuDNN-layout
-    # torch LSTM autograd
+@case("ms_mlp")
+def _ms_mlp():
+    # mix-shift rolls + dual-format LN backward (ms_mlp.py:37-77,246-270)
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+              depths=[2, 2], shift_size=3, shift_dist=[-1, 0, 1],
+              mix_size=[[1, 3, 5], [1, 3, 3]], drop_path_rate=0.0)
+    return (ref_model("ms_mlp", "MS_MLP", **kw), jm.MS_MLP(**kw),
+            (2, 3, 32, 32))
+
+
+@case("morph_mlp")
+def _morph_mlp():
+    from ref_loader import load_ref, ref_model
+    import jittor_mlp_tpu as jm
+    import jittor_mlp_tpu.models.morph_mlp as jm_morph
+
+    MORPH_XS = [[2, 2], [2, 2], [16, 32], [4, 4], [0.0, 0.0]]
+    load_ref("morph_mlp").morphmlp_settings["XS"] = MORPH_XS
+    jm_morph.morphmlp_settings["XS"] = MORPH_XS
+    return (ref_model("morph_mlp", "MorphMLP", model_name="XS",
+                      num_classes=10),
+            jm.MorphMLP(model_name="XS", num_classes=10), (2, 3, 32, 32))
+
+
+@case("dyna_mlp")
+def _dyna_mlp():
+    # content-dependent mixing-matrix softmax backward (dyna_mlp.py:34-94)
+    from ref_loader import load_ref, ref_model
+    import jittor_mlp_tpu as jm
+    import jittor_mlp_tpu.models.dyna_mlp as jm_dyna
+
+    DYNA_XS = [[4, 2], [16, 32], [2, 2], [2, 4], 2, 0.0, 2]
+    load_ref("dyna_mlp").dynamlp_settings["XS"] = DYNA_XS
+    jm_dyna.dynamlp_settings["XS"] = DYNA_XS
+    return (ref_model("dyna_mlp", "DynaMixer", model_name="XS",
+                      image_size=32, num_classes=10),
+            jm.DynaMixer(model_name="XS", image_size=32, num_classes=10),
+            (2, 3, 32, 32))
+
+
+@case("sequencer")
+def _sequencer():
+    # lax.scan BiLSTM backward vs cuDNN-layout torch LSTM autograd
+    from ref_loader import load_ref, ref_model
+    import jittor_mlp_tpu as jm
     import jittor_mlp_tpu.models.sequencer as jm_seq
 
     SEQ_XS = [[1, 1], [16, 32], [8, 8], 2]
     load_ref("sequencer").sequencer_settings["XS"] = SEQ_XS
     jm_seq.sequencer_settings["XS"] = SEQ_XS
-    check_model(
-        "sequencer",
-        ref_model("sequencer", "Sequencer2D", model_name="XS", num_classes=10),
-        jm.Sequencer2D(model_name="XS", num_classes=10),
-        (2, 3, 28, 28),
-    )
+    return (ref_model("sequencer", "Sequencer2D", model_name="XS",
+                      num_classes=10),
+            jm.Sequencer2D(model_name="XS", num_classes=10), (2, 3, 28, 28))
 
-    # shift model: AS-MLP (cites /root/reference/models_pytorch/as_mlp.py) —
-    # pins the axial-shift backward (the functional lowering whose Pallas
-    # custom VJP mirrors it on TPU, ops/pallas/shift_kernel.py)
-    askw = dict(img_size=32, patch_size=4, embed_dim=16, depths=[1, 1],
-                shift_size=3, mlp_ratio=2.0, num_classes=10,
-                drop_path_rate=0.0)
-    check_model(
-        "as_mlp",
-        ref_model("as_mlp", "AS_MLP", **askw),
-        jm.AS_MLP(**askw),
-        (2, 3, 32, 32),
-    )
 
-    # offset-gather model: ActiveMLP (cites /root/reference/models_pytorch/
-    # active_mlp.py) — pins the hat-function bilinear contraction backward
-    # (ops/deform.py:161-201) against torch autograd through the ATM op
-    # depths ≥ 2 per stage: the reference only generates an offset at blocks
-    # with j % intv == 0 and j != depth-1 (active_mlp.py:332-339), so a
-    # 1-block stage would use `offset` unbound
-    actkw = dict(img_size=32, patch_size=4, depths=[2, 2],
-                 embed_dims=[16, 32], mlp_ratios=[2, 2], share_dims=[1, 1],
-                 num_classes=10)
-    check_model(
-        "active_mlp",
-        ref_model("active_mlp", "ActiveMLP", **actkw),
-        jm.models.active_mlp.ActiveMLP(**actkw),
-        (2, 3, 32, 32),
-    )
+@case("active_mlp")
+def _active_mlp():
+    # hat-function bilinear contraction backward (ops/deform.py:161-201) vs
+    # torch autograd through the ATM op. depths ≥ 2 per stage: the reference
+    # only generates an offset at blocks with j % intv == 0 and
+    # j != depth-1 (active_mlp.py:332-339), so a 1-block stage would use
+    # `offset` unbound
+    from ref_loader import ref_model
+    import jittor_mlp_tpu as jm
+
+    kw = dict(img_size=32, patch_size=4, depths=[2, 2], embed_dims=[16, 32],
+              mlp_ratios=[2, 2], share_dims=[1, 1], num_classes=10)
+    return (ref_model("active_mlp", "ActiveMLP", **kw),
+            jm.models.active_mlp.ActiveMLP(**kw), (2, 3, 32, 32))
+
+
+def main():
+    names = sys.argv[1:] or list(CASES)
+    unknown = [n for n in names if n not in CASES]
+    assert not unknown, f"unknown grad-parity cases: {unknown}"
+    for name in names:
+        ref, ours, shape = CASES[name]()
+        check_model(name, ref, ours, shape)
     print("grad parity ok")
 
 

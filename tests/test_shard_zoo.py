@@ -4,6 +4,12 @@ Every factory, tiny config, DP+TP over the virtual 8-device mesh: the shard
 heuristic (parallel/train.py:_leaf_spec) must either shard correctly or
 replicate — never mis-shard. Exact forward agreement with the unsharded
 model is the oracle; a wrong guess shows up as a numeric or layout failure.
+
+``min_dim=8`` forces REAL tensor-parallel sharding at these tiny configs
+(at the production default of 512 every tiny leaf would replicate and the
+test would only exercise DP) — so every family's exotic leaves (stacked
+scan blocks, LSTM ih/hh, grouped FCs, 6D einsum operands) actually run
+split over the 'model' axis with XLA-inserted collectives.
 """
 
 import os
@@ -34,6 +40,6 @@ def test_shard_exact_agreement(name, factory, kwargs, img):
         np.float32
     )
     want = np.asarray(model(x))
-    model.shard(mesh)
+    model.shard(mesh, min_dim=8)
     got = np.asarray(model(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
