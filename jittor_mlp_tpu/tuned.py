@@ -33,18 +33,18 @@ TRAIN = {
     "gfnet_h_b": {"factory": "GFNetPyramid", "remat": True, "batch": 32, "img_s": 868.5},
     "hire_mlp": {"factory": "HireMLP", "remat": True, "batch": 32, "img_s": 688.3},
     "mlp_mixer": {"factory": "MLPMixerForImageClassification", "remat": False, "batch": 32, "img_s": 1159.6},
-    "morph_mlp": {"factory": "MorphMLP", "remat": False, "batch": 32, "img_s": 838.5},
-    "ms_mlp": {"factory": "MS_MLP", "remat": False, "batch": 32, "img_s": 643.3},
-    "raft_mlp": {"factory": "RaftMLP", "remat": False, "batch": 32, "img_s": 1683.8},
+    "morph_mlp": {"factory": "MorphMLP", "remat": True, "batch": 32, "img_s": 2060.2},
+    "ms_mlp": {"factory": "MS_MLP", "remat": True, "batch": 32, "img_s": 1019.5},
+    "raft_mlp": {"factory": "RaftMLP", "remat": False, "batch": 32, "img_s": 1704.1},
     "repmlpnet": {"factory": "create_RepMLPNet_B224", "remat": True, "batch": 64, "img_s": 997.0},
     "res_mlp": {"factory": "ResMLPForImageClassification", "remat": False, "batch": 32, "img_s": 2900.5},
-    "s2_mlp_v1": {"factory": "S2MLPv1_wide", "remat": False, "batch": 32, "img_s": 732.9},
-    "s2_mlp_v2": {"factory": "S2MLPv2", "remat": False, "batch": 32, "img_s": 818.4},
-    "sequencer": {"factory": "Sequencer2D", "remat": False, "batch": 32, "img_s": 575.4},
-    "sparse_mlp": {"factory": "SparseMLP", "remat": False, "batch": 32, "img_s": 489.1},
-    "swin_mlp": {"factory": "SwinMLP", "remat": False, "batch": 32, "img_s": 1289.2},
-    "vip": {"factory": "ViP", "remat": False, "batch": 32, "img_s": 548.6},
-    "wave_mlp": {"factory": "WaveMLP", "remat": False, "batch": 32, "img_s": 489.2},
+    "s2_mlp_v1": {"factory": "S2MLPv1_wide", "remat": True, "batch": 32, "img_s": 1317.8},
+    "s2_mlp_v2": {"factory": "S2MLPv2", "remat": True, "batch": 32, "img_s": 1430.8},
+    "sequencer": {"factory": "Sequencer2D", "remat": True, "batch": 32, "img_s": 1054.8},
+    "sparse_mlp": {"factory": "SparseMLP", "remat": True, "batch": 32, "img_s": 819.5},
+    "swin_mlp": {"factory": "SwinMLP", "remat": True, "batch": 32, "img_s": 1558.8},
+    "vip": {"factory": "ViP", "remat": True, "batch": 32, "img_s": 819.4},
+    "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 522.6},
 }
 
 _BY_FACTORY = {rec["factory"]: rec for rec in TRAIN.values()}
