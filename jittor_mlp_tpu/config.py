@@ -24,6 +24,14 @@ int8_matmul = False  # route dense ops through dynamic W8A8 int8 (inference)
 # default compile cannot fit this environment's process window; it changes
 # compile time, not semantics (any valid schedule is 'the hardware result').
 fast_compile = bool(int(__import__("os").environ.get("JMT_FAST_COMPILE", "0")))
+# Fused Pallas BACKWARD for the mixer block's trainable path
+# (ops/pallas/mixer_block_bwd.py). Off by default: measured SLOWER than the
+# recompute scheme (Pallas forward + XLA VJP of the plain block) on the
+# Mixer-B/16 mixed train step — 1,190 vs 1,433 img/s at b128 (see
+# docs/PERFORMANCE.md "negative results"). Kept as an option because its
+# residual profile differs (stores h instead of re-running the token mix),
+# which can matter under tight HBM at large depth.
+pallas_bwd = False
 
 
 @contextmanager

@@ -129,7 +129,8 @@ class Model:
 
     def _jitted(self):
         key = (config.compute_dtype, config.matmul_precision, config.remat,
-               self.training, config.fast_compile, config.int8_matmul)
+               self.training, config.fast_compile, config.int8_matmul,
+               config.pallas_bwd)
         fn = self._jit_cache.get(key)
         if fn is None:
             train = self.training

@@ -130,6 +130,12 @@ def MLPMixerForImageClassification(
                     c["fn"]["net"]["3"]["weight"], c["fn"]["net"]["3"]["bias"],
                 )
                 if train:
+                    if _cfg.pallas_bwd:
+                        from ..ops.pallas.mixer_block_bwd import (
+                            fused_mixer_block_train,
+                        )
+
+                        return fused_mixer_block_train(2, h, *w)
                     return fused_mixer_block_trainable(2, h, *w)
                 return fused_mixer_block(h, *w, bt=2)
 

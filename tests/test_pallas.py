@@ -117,6 +117,54 @@ def test_fused_block_trainable_grads_match_plain():
         pl.pallas_call = orig
 
 
+def test_fused_block_pallas_bwd_grads_match_plain():
+    """Fully-fused trainable block (mixer_block_bwd): Pallas forward AND
+    Pallas backward (token bwd + channel data bwd + channel weight bwd
+    kernels, interpret here) must match jax.grad of the identical jnp math
+    for EVERY argument — x, both LN pairs, all four matmul weights, all
+    four biases."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.mixer_block as mb
+    import jittor_mlp_tpu.ops.pallas.mixer_block_bwd as mbb
+
+    B, N, D, TD, CD = 4, 20, 32, 24, 64
+    k = jax.random.PRNGKey(2)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return jax.random.normal(s2, s, jnp.float32) * 0.1
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(TD, N), rn(TD), rn(N, TD), rn(N), rn(D), rn(D),
+            rn(CD, D), rn(CD), rn(D, CD), rn(D))
+    w = rn(B, N, D)
+    all_args = tuple(range(13))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        def loss_fused(x, *a):
+            return jnp.sum(mbb.fused_mixer_block_train(2, x, *a) * w)
+
+        def loss_plain(x, *a):
+            return jnp.sum(mb._plain_block(x, *a) * w)
+
+        lf, gf = jax.value_and_grad(loss_fused, argnums=all_args)(x, *args)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=all_args)(x, *args)
+        np.testing.assert_allclose(float(lf), float(lp), rtol=1e-5)
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+    finally:
+        pl.pallas_call = orig
+
+
 def test_fused_gmlp_block_matches_plain():
     import functools
 
