@@ -24,26 +24,48 @@ dynamlp_settings = {
 }
 
 
-def _dyna_op(op, x, seg, hidden, axis):
+def _dyna_op(op, x, seg, hidden, axis, train=False):
     """axis=2 → mix along W (DynaMixerOp_w); axis=1 → along H (_h).
 
     x: (B, H, W, C). 'Wd' is the stacked per-segment projection
     (seg, hidden, C); attend is Linear(hidden*len → len²).
+
+    The attention application Σ_w attn[b,h,s,v,w]·x[b,h,w,s,d] is the
+    model's dominant cost as a batched matmul: ~16k (W,W)@(W,d) MXU tiles
+    per layer at 0.13 TF/s, 71% of the forward (tools/dyna_probe.py).
+    On bf16 at batch ≥ 64 the W-length contraction is unrolled into W
+    broadcast-FMA terms on the VPU instead — DynaMixer-T 1,336 → 1,902
+    img/s at b64, 3,514 at b128. The win inverts below b64 (530 at b16:
+    XLA's small-batch layouts make the unrolled slices relayout-bound),
+    so small batches keep the einsum, as do f32 runs — it is the parity
+    path, differing only by sum reassociation (≤2e-6) — and training
+    (the unroll's backward re-materializes the W slice-grads: 306 vs 391
+    img/s at the tuned train point). A batch-on-lanes Pallas kernel and
+    five other formulations measured slower (docs/PERFORMANCE.md,
+    tools/dyna_probe.py).
     """
     B, H, W, C = x.shape
     d = C // seg
     if axis == 1:  # operate on H: swap H and W, reuse the W path
         x = jnp.swapaxes(x, 1, 2)
         H, W = W, H
-    # per-segment projections; concat order '(s d)' is s-major = stack order
-    p = jnp.einsum("bhwc,soc->bhwso", x, op["wd_w"],
-                   precision=nnf._prec()) + op["wd_b"]
-    attn = p.transpose(0, 1, 3, 2, 4).reshape(B, H, seg, W * hidden)
+    # per-segment projections emitted directly in (b,h,s,w,o) order so the
+    # (s, w*o) attend-input reshape is layout-free
+    p = jnp.einsum("bhwc,soc->bhswo", x, op["wd_w"],
+                   precision=nnf._prec()) + op["wd_b"][:, None, :]
+    attn = p.reshape(B, H, seg, W * hidden)
     attn = nnf.linear(op["attend"], attn).reshape(B, H, seg, W, W)
     attn = nnf.softmax(attn, axis=-1)
-    inp = x.reshape(B, H, W, seg, d).transpose(0, 1, 3, 2, 4)  # B,H,s,W,d
-    y = jnp.matmul(attn, inp, precision=nnf._prec())  # B,H,s,W,d
-    y = y.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
+    x5 = x.reshape(B, H, W, seg, d)
+    if x.dtype == jnp.bfloat16 and B >= 64 and not train:
+        xs = x5.transpose(0, 1, 3, 2, 4)  # B,H,s,w,d
+        acc = attn[..., 0:1] * xs[:, :, :, 0:1]
+        for w in range(1, W):
+            acc = acc + attn[..., w:w + 1] * xs[:, :, :, w:w + 1]
+        y = acc.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
+    else:
+        y = jnp.einsum("bhsvw,bhwsd->bhvsd", attn, x5,
+                       precision=nnf._prec()).reshape(B, H, W, C)
     y = nnf.linear(op["proc"], y)
     if axis == 1:
         y = jnp.swapaxes(y, 1, 2)
@@ -76,8 +98,8 @@ def DynaMixer(model_name="M", image_size=224, in_channels=3, num_classes=1000, s
                 y = nnf.layer_norm(bp["0"]["norm"], h)
                 fn = bp["0"]["fn"]
                 y_c = nnf.linear(fn["proj_c"], y)
-                y_h = _dyna_op(fn["op_h"], y, seg, hidden, axis=1)
-                y_w = _dyna_op(fn["op_w"], y, seg, hidden, axis=2)
+                y_h = _dyna_op(fn["op_h"], y, seg, hidden, axis=1, train=train)
+                y_w = _dyna_op(fn["op_w"], y, seg, hidden, axis=2, train=train)
                 y = nnf.linear(fn["proj_o"], y_h + y_w + y_c)
                 # DynaMLPBlock wraps both residuals in DropPath(dropout)
                 # (dyna_mlp.py:117,128-130)

@@ -60,3 +60,37 @@ def test_dyna_mixer_parity():
         dict(model_name="XS", image_size=32, num_classes=10),
         input_shape=(2, 3, 32, 32),
     )
+
+
+def test_dyna_unroll_matches_einsum():
+    """The bf16 batch>=64 eval path unrolls the attention application into
+    broadcast-FMAs (models/dyna_mlp.py:58-63); it must agree with the
+    einsum/parity formulation on the same bf16 inputs to f32-accumulation
+    noise. Exercised directly through _dyna_op on a tiny geometry."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, seg, hidden = 64, 4, 4, 8, 2, 2
+    op = {
+        "wd_w": jnp.asarray(rng.normal(size=(seg, hidden, C)), jnp.bfloat16),
+        "wd_b": jnp.asarray(rng.normal(size=(seg, hidden)), jnp.bfloat16),
+        "attend": {
+            "weight": jnp.asarray(
+                rng.normal(size=(W * W, hidden * W)), jnp.bfloat16),
+            "bias": jnp.asarray(rng.normal(size=(W * W,)), jnp.bfloat16),
+        },
+        "proc": {
+            "weight": jnp.asarray(rng.normal(size=(C, C)), jnp.bfloat16),
+            "bias": jnp.asarray(rng.normal(size=(C,)), jnp.bfloat16),
+        },
+    }
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.bfloat16)
+    for axis in (1, 2):
+        fast = np.asarray(
+            jm_dyna._dyna_op(op, x, seg, hidden, axis), np.float32)
+        ref = np.asarray(
+            jm_dyna._dyna_op(op, x, seg, hidden, axis, train=True),
+            np.float32)
+        np.testing.assert_allclose(fast, ref, rtol=0.05, atol=0.05)
+        assert not np.allclose(fast, 0)
