@@ -106,10 +106,36 @@ def MLPMixerForImageClassification(
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
-            # int8_mode must reach the block matmuls: fall back to the nnf
-            # path, whose dense ops route through dynamic_int8_matmul
-            and not _cfg.int8_matmul
+            and not (_cfg.int8_matmul and train)
         ):
+            if _cfg.int8_matmul:
+                # W8A8 serving keeps the block fusion AND the 2× int8 MXU
+                # rate: weights quantized per forward, activations in VMEM
+                from ..ops.pallas.mixer_block_int8 import (
+                    fused_mixer_block_int8,
+                )
+
+                def qblock(bp, h):
+                    t, c = bp["0"], bp["1"]
+                    return fused_mixer_block_int8(
+                        h,
+                        t["norm"]["weight"], t["norm"]["bias"],
+                        t["fn"]["net"]["0"]["weight"][:, :, 0],
+                        t["fn"]["net"]["0"]["bias"],
+                        t["fn"]["net"]["3"]["weight"][:, :, 0],
+                        t["fn"]["net"]["3"]["bias"],
+                        c["norm"]["weight"], c["norm"]["bias"],
+                        c["fn"]["net"]["0"]["weight"],
+                        c["fn"]["net"]["0"]["bias"],
+                        c["fn"]["net"]["3"]["weight"],
+                        c["fn"]["net"]["3"]["bias"],
+                        bt=2,
+                    )
+
+                x = nnf.scan_blocks(qblock, params["blocks"], x)
+                x = nnf.layer_norm(params["active"], x)
+                x = nnf.global_avg_pool_tokens(x)
+                return nnf.linear(params["head"], x)
             # train mode uses the custom-VJP variant (Pallas forward, XLA
             # backward); the mixer has no dropout so train == eval math
             from ..ops.pallas.mixer_block import (

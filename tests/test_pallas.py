@@ -319,3 +319,65 @@ def test_fused_resmlp_trainable_grads_match_plain():
                                        atol=1e-6)
     finally:
         pl.pallas_call = orig
+
+
+def test_fused_block_int8_error_bounded():
+    """The W8A8 fused block (mixer_block_int8) must stay in the same error
+    class as the XLA dynamic-int8 path: both approximate the f32/bf16 block
+    with per-matmul symmetric int8 quantization, so the kernel's deviation
+    from the plain block is bounded by a small multiple of the XLA W8A8
+    path's own deviation (the kernel's per-(row, chunk) channel scales are
+    strictly finer)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.mixer_block as mb
+    import jittor_mlp_tpu.ops.pallas.mixer_block_int8 as mi
+    from jittor_mlp_tpu.quant import dynamic_int8_matmul as dq
+
+    B, N, D, TD, CD = 4, 20, 32, 24, 64
+    k = jax.random.PRNGKey(0)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return (jax.random.normal(s2, s, jnp.float32) * 0.5).astype(
+            jnp.bfloat16)
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(TD, N), rn(TD), rn(N, TD), rn(N), rn(D), rn(D),
+            rn(CD, D), rn(CD), rn(D, CD), rn(D))
+    (ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1, wc2, bc2) = args
+    ref = mb._plain_block(x, *args).astype(jnp.float32)
+
+    # XLA W8A8 equivalent of the same block
+    def ln(v, w, b, eps=1e-5):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(vf - mu), -1, keepdims=True)
+        return (((vf - mu) * jax.lax.rsqrt(var + eps)) * w + b).astype(
+            v.dtype)
+
+    xn = ln(x, ln1w, ln1b)
+    t = dq(jnp.swapaxes(xn, 1, 2), wt1.T)
+    t = mb._gelu_tanh((t + bt1).astype(jnp.float32)).astype(x.dtype)
+    h = x + jnp.swapaxes(dq(t, wt2.T), 1, 2) + bt2[None, :, None]
+    c = dq(ln(h, ln2w, ln2b), wc1.T) + bc1
+    c = mb._gelu_tanh(c.astype(jnp.float32)).astype(x.dtype)
+    y_xla = (h + dq(c, wc2.T) + bc2).astype(jnp.float32)
+    err_xla = float(jnp.max(jnp.abs(y_xla - ref)))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = mi.fused_mixer_block_int8(x, *args, bt=2).astype(jnp.float32)
+    finally:
+        pl.pallas_call = orig
+    err_kernel = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err_kernel <= max(2.0 * err_xla, 0.05 * scale), (
+        err_kernel, err_xla, scale)
+    assert err_kernel > 0  # it IS quantized, not silently bf16
