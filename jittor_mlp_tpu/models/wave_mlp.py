@@ -26,6 +26,28 @@ wavemlp_settings = {
 _conv11 = nnf.conv1x1
 
 
+def _tfc(p, x2, padding, dim):
+    """Token-fuse conv: torch Conv2d(2C→C, (1,7)/(7,1), groups=C, bias=False).
+
+    Torch group semantics (reference wave_mlp.py:30-33): group g consumes the
+    *adjacent* concat channels (2g, 2g+1) → output channel g. A group-of-2
+    grouped conv runs at 2/128 lane utilization on the TPU; splitting the
+    input into its even/odd channel streams turns it into two full-C
+    depthwise convs summed — exact up to one f32 reassociation, measured
+    2.2–5.0× faster at the ≥14² stages (probe in docs/PERFORMANCE.md). The
+    7² stage measured marginally faster grouped, so it keeps the XLA
+    grouped lowering.
+    """
+    B, H, W, _ = x2.shape
+    if H * W <= 64:
+        return nnf.conv2d(p, x2, padding=padding, groups=dim)
+    w = p["weight"]  # torch OIHW: (C, 2, kh, kw)
+    xp = x2.reshape(B, H, W, dim, 2)
+    ye = nnf.conv2d({"weight": w[:, 0:1]}, xp[..., 0], padding=padding, groups=dim)
+    yo = nnf.conv2d({"weight": w[:, 1:2]}, xp[..., 1], padding=padding, groups=dim)
+    return ye + yo
+
+
 def _patm(bp, x, dim, train):
     th = _conv11(bp["theta_h_conv"]["0"], x)
     th = nnf.relu(nnf.batch_norm(bp["theta_h_conv"]["1"], th, train=train))
@@ -39,8 +61,8 @@ def _patm(bp, x, dim, train):
     x_h = jnp.concatenate([x_h * jnp.cos(th), x_h * jnp.sin(th)], axis=-1)
     x_w = jnp.concatenate([x_w * jnp.cos(tw), x_w * jnp.sin(tw)], axis=-1)
 
-    h = nnf.conv2d(bp["tfc_h"], x_h, padding=(0, 3), groups=dim)
-    w = nnf.conv2d(bp["tfc_w"], x_w, padding=(3, 0), groups=dim)
+    h = _tfc(bp["tfc_h"], x_h, (0, 3), dim)
+    w = _tfc(bp["tfc_w"], x_w, (3, 0), dim)
 
     a = jnp.mean(h + w + c, axis=(1, 2))  # (B, C)
     a = _conv11(

@@ -94,3 +94,22 @@ def test_dyna_unroll_matches_einsum():
             np.float32)
         np.testing.assert_allclose(fast, ref, rtol=0.05, atol=0.05)
         assert not np.allclose(fast, 0)
+
+
+def test_wave_tfc_decomposition_matches_grouped():
+    # _tfc's even/odd depthwise decomposition must equal the torch-semantics
+    # grouped conv exactly (up to one f32 reassociation) on BOTH branches.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jittor_mlp_tpu.core import nnf
+
+    rng = np.random.RandomState(0)
+    for C, HW, pad, k in [(8, 16, (0, 3), (1, 7)), (8, 16, (3, 0), (7, 1)),
+                          (16, 4, (0, 3), (1, 7))]:  # HW=4 -> grouped branch
+        x = jnp.asarray(rng.randn(2, HW, HW, 2 * C), jnp.float32)
+        p = {"weight": jnp.asarray(rng.randn(C, 2, *k) * 0.2, jnp.float32)}
+        want = nnf.conv2d(p, x, padding=pad, groups=C)
+        got = jm_wave._tfc(p, x, pad, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
