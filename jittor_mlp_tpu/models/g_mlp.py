@@ -60,9 +60,10 @@ def gMLPForImageClassification(
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
-            # int8_mode must reach the block matmuls: fall back to the nnf
-            # path, whose dense ops route through dynamic_int8_matmul
-            and not _cfg.int8_matmul
+            # int8_mode under training falls back to the nnf path (whose
+            # make_train_step guard rejects it); int8 serving keeps the
+            # fusion via the W8A8 kernel below
+            and not (_cfg.int8_matmul and train)
         ):
             # train mode uses the custom-VJP variant (Pallas forward, XLA
             # backward); the block has no dropout so train == eval math
@@ -70,6 +71,9 @@ def gMLPForImageClassification(
                 fused_gmlp_block,
                 fused_gmlp_block_trainable,
             )
+
+            if _cfg.int8_matmul:
+                from ..ops.pallas.gmlp_block_int8 import fused_gmlp_block_int8
 
             def fblock(bp, h):
                 w = (
@@ -80,6 +84,10 @@ def gMLPForImageClassification(
                     bp["sgu"]["spatial_proj"]["bias"],
                     bp["channel_proj2"]["weight"], bp["channel_proj2"]["bias"],
                 )
+                if _cfg.int8_matmul:
+                    # W8A8 serving keeps the block fusion AND the 2× int8
+                    # MXU rate (see ops/pallas/gmlp_block_int8.py)
+                    return fused_gmlp_block_int8(h, *w, bt=2)
                 if train:
                     return fused_gmlp_block_trainable(2, h, *w)
                 return fused_gmlp_block(h, *w, bt=2)

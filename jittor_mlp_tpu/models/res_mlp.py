@@ -58,9 +58,10 @@ def ResMLPForImageClassification(
             and x.dtype == jnp.bfloat16
             and B % 2 == 0
             and jax.default_backend() == "tpu"
-            # int8_mode must reach the block matmuls: fall back to the nnf
-            # path, whose dense ops route through dynamic_int8_matmul
-            and not _cfg.int8_matmul
+            # int8_mode under training falls back to the nnf path (whose
+            # make_train_step guard rejects it); int8 serving keeps the
+            # fusion via the W8A8 kernel below
+            and not (_cfg.int8_matmul and train)
         ):
             # train mode uses the custom-VJP variant (Pallas forward, XLA
             # backward); the block has no dropout so train == eval math
@@ -68,6 +69,11 @@ def ResMLPForImageClassification(
                 fused_resmlp_block,
                 fused_resmlp_block_trainable,
             )
+
+            if _cfg.int8_matmul:
+                from ..ops.pallas.resmlp_block_int8 import (
+                    fused_resmlp_block_int8,
+                )
 
             def fblock(bp, h):
                 w = (
@@ -82,6 +88,10 @@ def ResMLPForImageClassification(
                     bp["ff"]["net"]["0"]["weight"], bp["ff"]["net"]["0"]["bias"],
                     bp["ff"]["net"]["3"]["weight"], bp["ff"]["net"]["3"]["bias"],
                 )
+                if _cfg.int8_matmul:
+                    # W8A8 serving keeps the block fusion AND the 2× int8
+                    # MXU rate (see ops/pallas/resmlp_block_int8.py)
+                    return fused_resmlp_block_int8(h, *w, bt=2)
                 if train:
                     return fused_resmlp_block_trainable(2, h, *w)
                 return fused_resmlp_block(h, *w, bt=2)

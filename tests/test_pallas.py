@@ -381,3 +381,115 @@ def test_fused_block_int8_error_bounded():
     assert err_kernel <= max(2.0 * err_xla, 0.05 * scale), (
         err_kernel, err_xla, scale)
     assert err_kernel > 0  # it IS quantized, not silently bf16
+
+
+def test_fused_resmlp_int8_error_bounded():
+    """resmlp_block_int8 must stay in the same error class as the XLA
+    dynamic-int8 path applied to the same block math (mixer kernel's bound)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.resmlp_block as rb
+    import jittor_mlp_tpu.ops.pallas.resmlp_block_int8 as ri
+    from jittor_mlp_tpu.ops.pallas.mixer_block import _gelu_tanh
+    from jittor_mlp_tpu.quant import dynamic_int8_matmul as dq
+
+    B, N, D, F = 4, 20, 32, 64
+    k = jax.random.PRNGKey(1)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return (jax.random.normal(s2, s, jnp.float32) * 0.5).astype(
+            jnp.bfloat16)
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(D), rn(N, N), rn(N), rn(D), rn(D), rn(D),
+            rn(F, D), rn(F), rn(D, F), rn(D))
+    (a1, b1, g1, wt, btk, a2, b2, g2, w1, c1, w2, c2) = args
+    ref = rb._plain_resmlp_block(x, *args).astype(jnp.float32)
+
+    # XLA W8A8 equivalent of the same block
+    h = (x.astype(jnp.float32) * a1 + b1).astype(x.dtype)
+    t = jnp.swapaxes(dq(jnp.swapaxes(h, 1, 2), wt.T), 1, 2)
+    t = t + btk[None, :, None]
+    h = (h.astype(jnp.float32) + g1 * t.astype(jnp.float32)) * a2 + b2
+    h = h.astype(x.dtype)
+    c = _gelu_tanh((dq(h, w1.T) + c1).astype(jnp.float32)).astype(x.dtype)
+    y_xla = (h.astype(jnp.float32)
+             + g2 * (dq(c, w2.T) + c2).astype(jnp.float32))
+    err_xla = float(jnp.max(jnp.abs(y_xla - ref)))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = ri.fused_resmlp_block_int8(x, *args, bt=2).astype(jnp.float32)
+    finally:
+        pl.pallas_call = orig
+    err_kernel = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err_kernel <= max(2.0 * err_xla, 0.05 * scale), (
+        err_kernel, err_xla, scale)
+    assert err_kernel > 0
+
+
+def test_fused_gmlp_int8_error_bounded():
+    """gmlp_block_int8 must stay in the same error class as the XLA
+    dynamic-int8 path applied to the same block math."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    import jittor_mlp_tpu.ops.pallas.gmlp_block as gb
+    import jittor_mlp_tpu.ops.pallas.gmlp_block_int8 as gi
+    from jittor_mlp_tpu.ops.pallas.mixer_block import _gelu_tanh
+    from jittor_mlp_tpu.quant import dynamic_int8_matmul as dq
+
+    B, N, D, f = 4, 20, 32, 48
+    k = jax.random.PRNGKey(2)
+
+    def rn(*s):
+        nonlocal k
+        k, s2 = jax.random.split(k)
+        return (jax.random.normal(s2, s, jnp.float32) * 0.5).astype(
+            jnp.bfloat16)
+
+    x = rn(B, N, D)
+    args = (rn(D), rn(D), rn(2 * f, D), rn(2 * f), rn(f), rn(f), rn(N, N),
+            rn(N), rn(D, f), rn(D))
+    (ln1w, ln1b, w1, b1, sgu_w, sgu_b, wsp, bs, w2, b2) = args
+    ref = gb._plain_gmlp_block(x, *args).astype(jnp.float32)
+
+    def ln(v, w, b, eps=1e-5):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(vf - mu), -1, keepdims=True)
+        return (((vf - mu) * jax.lax.rsqrt(var + eps)) * w + b).astype(
+            v.dtype)
+
+    xn = ln(x, ln1w, ln1b)
+    y = _gelu_tanh((dq(xn, w1.T) + b1).astype(jnp.float32)).astype(x.dtype)
+    u, v = y[..., :f], y[..., f:]
+    vn = ln(v, sgu_w, sgu_b)
+    v2 = jnp.swapaxes(dq(jnp.swapaxes(vn, 1, 2), wsp.T), 1, 2)
+    v2 = v2 + bs[None, :, None]
+    g = (u.astype(jnp.float32) * v2.astype(jnp.float32)).astype(x.dtype)
+    y_xla = x.astype(jnp.float32) + (dq(g, w2.T) + b2).astype(jnp.float32)
+    err_xla = float(jnp.max(jnp.abs(y_xla - ref)))
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = gi.fused_gmlp_block_int8(x, *args, bt=2).astype(jnp.float32)
+    finally:
+        pl.pallas_call = orig
+    err_kernel = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err_kernel <= max(2.0 * err_xla, 0.05 * scale), (
+        err_kernel, err_xla, scale)
+    assert err_kernel > 0
