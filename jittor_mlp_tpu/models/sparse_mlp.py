@@ -73,8 +73,23 @@ def SparseMLP(
                 x_w = jnp.moveaxis(
                     nnf.linear(sm["proj_w"], jnp.moveaxis(y, 2, -1)), -1, 2
                 )
-                fused = jnp.concatenate([x_h, x_w, y], axis=-1)
-                y = nnf.conv2d(sm["fuse"], fused)
+                # fuse 1x1 conv over cat([x_h, x_w, y]): the weight splits
+                # by source (W = [W_h | W_w | W_id]), so for d >= 192 we sum
+                # three d->d matmuls instead of materializing the 3d-channel
+                # concat in HBM (tools/sparse_probe.py, b64 bf16 one v5e:
+                # 2.38x/1.37x/2.70x at stages 2-4; 0.86x at d=96 where the
+                # concat is cheap, so stage 1 keeps it)
+                if d >= 192:
+                    wf = sm["fuse"]["weight"][:, :, 0, 0]  # (d, 3d) OI
+                    y = (
+                        nnf._dense(x_h, wf[:, :d].T)
+                        + nnf._dense(x_w, wf[:, d:2 * d].T)
+                        + nnf._dense(y, wf[:, 2 * d:].T)
+                        + sm["fuse"]["bias"]
+                    )
+                else:
+                    fused = jnp.concatenate([x_h, x_w, y], axis=-1)
+                    y = nnf.conv2d(sm["fuse"], fused)
                 h = h + y
                 # channel FF, LN prenorm
                 y = nnf.layer_norm(bp["3"]["norm"], h)

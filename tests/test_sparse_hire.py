@@ -77,3 +77,23 @@ def test_hire_mlp_padding_modes():
             ),
             input_shape=(2, 3, 32, 32),
         )
+
+
+def test_sparse_mlp_split_fuse_parity():
+    """The d>=192 split-fuse path (three d->d matmuls) must match the torch
+    reference exactly like the concat+1x1 path does — this config's second
+    stage hits d=192 so both branches run in one forward."""
+    check_parity(
+        "sparse_mlp",
+        "SparseMLP",
+        jm.SparseMLP,
+        dict(
+            image_size=32,
+            patch_size=4,
+            num_classes=10,
+            d_model=96,
+            depth=[1, 1],
+            expansion_factor=2,
+        ),
+        input_shape=(2, 3, 32, 32),
+    )
