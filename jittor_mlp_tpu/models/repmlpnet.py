@@ -209,7 +209,7 @@ def RepMLPNet(
         # deploy checkpoints have fc3.bias and no fc3_bn
         blk0 = nested["stages"]["0"]["0"]["repmlp_block"]
         if "fc3_bn" not in blk0:
-            out["deploy"] = jnp.zeros(())
+            out["deploy"] = jnp.zeros((), jnp.float32)
         return out
 
     b = SDBuilder(seed)
@@ -274,8 +274,13 @@ def _fuse_bn(weight, bn, eps=1e-5):
 
 def _conv_to_fc(kernel, bias, S, h, w):
     """_convert_conv_to_fc (repmlpnet.py:168-173): run the conv over identity
-    tile images to materialize the equivalent dense FC."""
-    eye = jnp.eye(h * w)
+    tile images to materialize the equivalent dense FC.
+
+    dtype-preserving: the identity images take the kernel's dtype so the
+    transform never upcasts params (under jax_enable_x64, a default
+    jnp.eye would be f64 and poison the fused fc3 — the scan carry then
+    fails to typecheck; see tests/test_x64_contract.py)."""
+    eye = jnp.eye(h * w, dtype=kernel.dtype)
     I = jnp.tile(eye, (1, S)).reshape(h * w, S, h, w)
     I_nhwc = I.transpose(0, 2, 3, 1)
     out = nnf.conv2d(
@@ -326,7 +331,7 @@ def inject_locality(params, n_stages, num_blocks, channels, sharesets_nums,
         new_stages.append({"blocks": pytree.stack_layers(out_blocks)})
     out = dict(params)
     out["stages"] = new_stages
-    out["deploy"] = jnp.zeros(())
+    out["deploy"] = jnp.zeros((), jnp.float32)  # presence flag; pin dtype
     return out
 
 

