@@ -213,6 +213,63 @@ def run_throughput(name, batch=32, iters=20, image_size=224, int8=False):
         )
 
 
+def run_serving_numerics(name, batch=64, image_size=224):
+    """Serving-precision audit: one deterministic batch, three precisions.
+
+    f32 logits under ``config.parity_mode()`` are the audited ground truth
+    (PARITY_TPU.md gates that path against the torch reference at ≤1e-4 —
+    /root/reference/compare.py:179-186 is the analogous acceptance); bf16 is
+    the serving default (``config.bf16_mode`` + bf16 params); int8 stacks
+    ``config.int8_mode`` (dynamic W8A8) on top. Reports abs deviation
+    normalized by the f32 logit absmax plus top-1 argmax agreement for
+    bf16-vs-f32, int8-vs-f32 and int8-vs-bf16. All statistics are computed
+    on the executing device and fetched as one stacked scalar read (bulk
+    device→host transfers over the tunneled runtime cost seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jittor_mlp_tpu import config
+
+    ours = build_ours(name)
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal(
+        (batch, 3, image_size, image_size)).astype(np.float32))
+
+    with config.parity_mode():
+        f32 = ours(x)
+    ours.to_bf16()
+    with config.bf16_mode():
+        b16 = ours(x)
+    with config.bf16_mode(), config.int8_mode():
+        q8 = ours(x)
+
+    @jax.jit
+    def _stats(f32, b16, q8):
+        f = f32.astype(jnp.float32)
+        b = b16.astype(jnp.float32)
+        q = q8.astype(jnp.float32)
+        scale = jnp.maximum(jnp.abs(f).max(), 1e-6)
+        af, ab, aq = f.argmax(-1), b.argmax(-1), q.argmax(-1)
+        agree = lambda u, v: jnp.mean((u == v).astype(jnp.float32))
+        return jnp.stack([
+            jnp.abs(b - f).max() / scale, jnp.abs(b - f).mean() / scale,
+            agree(ab, af),
+            jnp.abs(q - f).max() / scale, jnp.abs(q - f).mean() / scale,
+            agree(aq, af), agree(aq, ab),
+        ])
+
+    (bf16_max, bf16_mean, bf16_agree, int8_max, int8_mean, int8_agree,
+     int8_agree_bf16) = (float(s) for s in np.asarray(_stats(f32, b16, q8)))
+    return {
+        "numerics_batch": batch,
+        "bf16_max_rel": bf16_max, "bf16_mean_rel": bf16_mean,
+        "bf16_argmax_agree": bf16_agree,
+        "int8_max_rel": int8_max, "int8_mean_rel": int8_mean,
+        "int8_argmax_agree": int8_agree,
+        "int8_argmax_agree_vs_bf16": int8_agree_bf16,
+    }
+
+
 def run_train_throughput(name, batch=32, iters=10, image_size=224,
                          try_remat=False):
     """Mixed-precision training img/s: full fwd+bwd+adamw steps inside one
@@ -336,6 +393,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="also measure forward throughput under "
                          "config.int8_mode (dynamic W8A8 serving path)")
+    ap.add_argument("--serving-numerics", action="store_true",
+                    help="also audit bf16/int8 serving logits vs the f32 "
+                         "parity-mode forward (deviation + argmax agreement)")
     ap.add_argument("--try-remat", action="store_true",
                     help="with --train: also measure the remat step and "
                          "report the faster of the two")
@@ -401,6 +461,16 @@ def main():
             record.update(int8_fps=qfps)
             print(f"int8 throughput: {qfps:,.0f} images/sec "
                   f"(dynamic W8A8, {qfps / fps:.2f}x bf16)")
+
+    if args.serving_numerics:
+        nrec = run_serving_numerics(args.model, image_size=args.image_size)
+        record.update(nrec)
+        print(f"bf16 vs f32: max {nrec['bf16_max_rel']:.2e} "
+              f"mean {nrec['bf16_mean_rel']:.2e} "
+              f"argmax {100 * nrec['bf16_argmax_agree']:.1f}%  |  "
+              f"int8 vs f32: max {nrec['int8_max_rel']:.2e} "
+              f"argmax {100 * nrec['int8_argmax_agree']:.1f}% "
+              f"(vs bf16 {100 * nrec['int8_argmax_agree_vs_bf16']:.1f}%)")
 
     if args.train:
         try:

@@ -435,12 +435,25 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
         unroll = int(depth)  # see scan_blocks: exact FLOPs accounting
 
     do_remat = remat or config.remat
-    if _block_runner is not None and rng is None:
-        # eval-mode stacks run through the installed distributed runner; a
-        # live rng (per-layer drop-path keys) has no runner equivalent and
-        # keeps the local scan (see block_runner_scope)
+    if _block_runner is not None:
         raw = jax.checkpoint(block_fn) if do_remat else block_fn
-        return _block_runner(lambda bp, h: raw(bp, h, None), stacked_params, x)
+        if rng is None:
+            # eval-mode stacks: no random ops traced
+            return _block_runner(
+                lambda bp, h: raw(bp, h, None), stacked_params, x
+            )
+        # live rng (per-layer drop-path keys): thread the layer index as an
+        # extra stacked channel so the runner — which only sees an opaque
+        # leading-axis pytree — reproduces the local scan's
+        # fold_in(rng, layer_index) exactly (pipeline stages fold with their
+        # GLOBAL layer id, so dense vs pipelined training parity holds).
+        # This is what lets hierarchical models (as_mlp stages) train under
+        # pipeline_runner instead of silently falling back to the local scan.
+        idx = jnp.arange(depth)
+        return _block_runner(
+            lambda xs, h: raw(xs[0], h, jax.random.fold_in(rng, xs[1])),
+            (stacked_params, idx), x,
+        )
 
     # sink capture inside the checkpointed fn — see scan_blocks
     def inner(bp, h, r):

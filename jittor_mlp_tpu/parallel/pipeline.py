@@ -135,14 +135,22 @@ def shard_stacked_params(params, mesh, axis="model"):
 
 
 def pipeline_shardings(params, mesh, blocks_key="blocks", axis="model"):
-    """Model-level placement for a pipelined model: the stacked ``blocks``
-    subtree shards its layer axis over ``axis`` (stage ownership); every
-    other leaf replicates."""
+    """Model-level placement for a pipelined model: every leaf living under
+    a ``blocks`` subtree (at ANY nesting depth — flat models keep it at top
+    level, hierarchical models like as_mlp carry one per stage inside
+    ``layers[i]``) shards its leading layer axis over ``axis`` (stage
+    ownership); every other leaf (stems, heads, per-stage downsamples)
+    replicates."""
     from jax.sharding import NamedSharding
 
     rep = NamedSharding(mesh, P())
-    return {
-        k: (shard_stacked_params(v, mesh, axis) if k == blocks_key
-            else jax.tree_util.tree_map(lambda _: rep, v))
-        for k, v in params.items()
-    }
+
+    def spec_for(path, x):
+        in_blocks = any(
+            getattr(k, "key", None) == blocks_key for k in path
+        )
+        if in_blocks and getattr(x, "ndim", 0) >= 1:
+            return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
