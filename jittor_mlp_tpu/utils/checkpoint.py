@@ -17,7 +17,15 @@ import numpy as np
 
 
 def load_torch_checkpoint(path_or_url, map_location="cpu"):
-    """torch.load a local path or URL; unwrap {'model': sd} containers."""
+    """torch.load a local path or URL; unwrap {'model': sd} containers.
+
+    A bare filename (or a path that doesn't exist locally) is additionally
+    resolved against JITTOR_MLP_TPU_CKPT_DIR, so the reference's
+    path-style ``pretrained=`` arguments (wave_mlp.py:147-148,
+    morph_mlp.py:150-151 take a checkpoint PATH, not a URL) work on
+    air-gapped pods with pre-staged checkpoint directories."""
+    import os
+
     import torch
 
     if str(path_or_url).startswith(("http://", "https://")):
@@ -25,7 +33,13 @@ def load_torch_checkpoint(path_or_url, map_location="cpu"):
 
         sd = load_state_dict_from_url(path_or_url, map_location=map_location)
     else:
-        sd = torch.load(path_or_url, map_location=map_location)
+        path = str(path_or_url)
+        cache_dir = os.environ.get("JITTOR_MLP_TPU_CKPT_DIR")
+        if not os.path.exists(path) and cache_dir:
+            staged = os.path.join(cache_dir, os.path.basename(path))
+            if os.path.exists(staged):
+                path = staged
+        sd = torch.load(path, map_location=map_location)
     if isinstance(sd, dict) and "model" in sd:
         sd = sd["model"]
     return sd

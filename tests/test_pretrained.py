@@ -58,3 +58,46 @@ def test_pretrained_model_key_unwrap(tmp_path, monkeypatch):
     with config.parity_mode():
         got = np.asarray(ours(x))
     assert_close(got, want, tol=1e-4, name="['model'] unwrap")
+
+
+def test_wavemlp_pretrained_end_to_end(tmp_path, monkeypatch):
+    """WaveMLP's path-style pretrained= (ref wave_mlp.py:147-148:
+    torch.load(pretrained)['model']) through the staged offline flow:
+    a bare filename resolves against JITTOR_MLP_TPU_CKPT_DIR, the ['model']
+    container unwraps, and the imported full-size forward matches the torch
+    reference carrying the same weights."""
+    ref = ref_model("wave_mlp", "WaveMLP", model_name="T")
+    recalibrate_ref_bn(ref)
+    torch.save({"model": ref.state_dict()}, tmp_path / "wavemlp_t.pth")
+    monkeypatch.setenv("JITTOR_MLP_TPU_CKPT_DIR", str(tmp_path))
+
+    ours = jm.WaveMLP(model_name="T", pretrained="wavemlp_t.pth")
+
+    torch.manual_seed(4)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        want = ref(x).numpy()
+    with config.parity_mode():
+        got = np.asarray(ours(x))
+    assert_close(got, want, tol=1e-4, name="wave_mlp pretrained logits")
+    assert (got.argmax(-1) == want.argmax(-1)).all(), "argmax disagreement"
+
+
+def test_morphmlp_pretrained_end_to_end(tmp_path, monkeypatch):
+    """MorphMLP's path-style pretrained= (ref morph_mlp.py:150-151), same
+    staged offline flow, full-size logit parity + argmax agreement."""
+    ref = ref_model("morph_mlp", "MorphMLP", model_name="T")
+    recalibrate_ref_bn(ref)
+    torch.save({"model": ref.state_dict()}, tmp_path / "morphmlp_t.pth")
+    monkeypatch.setenv("JITTOR_MLP_TPU_CKPT_DIR", str(tmp_path))
+
+    ours = jm.MorphMLP(model_name="T", pretrained="morphmlp_t.pth")
+
+    torch.manual_seed(4)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        want = ref(x).numpy()
+    with config.parity_mode():
+        got = np.asarray(ours(x))
+    assert_close(got, want, tol=1e-4, name="morph_mlp pretrained logits")
+    assert (got.argmax(-1) == want.argmax(-1)).all(), "argmax disagreement"
