@@ -269,15 +269,72 @@ def batch_norm(p, x, eps=1e-5, train=False):
 
 
 def group_norm(p, x, num_groups, eps=1e-5):
-    """torch nn.GroupNorm on NHWC data: stats over (H, W, C/g) per group."""
+    """torch nn.GroupNorm on NHWC data: stats over (H, W, C/g) per group.
+
+    The affine path carries a hand-written VJP: XLA's autodiff backward of
+    the composed mean/var/rsqrt chain materializes several full-size f32
+    intermediates, which dominates AS-MLP's backward (GroupNorm bwd was
+    11 ms of the 53 ms step, docs/PERFORMANCE.md). The analytic form
+    dx = r·(dŷγ − mean(dŷγ) − x̂·mean(dŷγ·x̂)) saves only x̂ (x.dtype) and
+    the per-group rsqrt; reductions stay f32 — the same precision class as
+    the autodiff backward of the f32-cast forward (grad-parity-tested)."""
+    if p is not None and "weight" in p:
+        return _group_norm_affine(p, x, num_groups, eps)
     B, H, W, C = x.shape
     xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
     mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4), keepdims=True)
     y = ((xf - mu) * lax.rsqrt(var + eps)).reshape(B, H, W, C).astype(x.dtype)
-    if p is not None and "weight" in p:
-        y = y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return y
+
+
+def _group_norm_fwd_impl(p, x, num_groups, eps):
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4), keepdims=True)
+    r = lax.rsqrt(var + eps)
+    xhat = ((xf - mu) * r).reshape(B, H, W, C).astype(x.dtype)
+    y = xhat * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return y, xhat, r
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _group_norm_affine(p, x, num_groups, eps):
+    y, _, _ = _group_norm_fwd_impl(p, x, num_groups, eps)
+    return y
+
+
+def _group_norm_affine_fwd(p, x, num_groups, eps):
+    y, xhat, r = _group_norm_fwd_impl(p, x, num_groups, eps)
+    return y, (xhat, r, p)
+
+
+def _group_norm_affine_bwd(num_groups, eps, res, dy):
+    xhat, r, p = res
+    w = p["weight"]
+    B, H, W, C = dy.shape
+    g = num_groups
+    dyf = dy.astype(jnp.float32)
+    xh = xhat.astype(jnp.float32)
+    dw = jnp.sum(dyf * xh, axis=(0, 1, 2))
+    db = jnp.sum(dyf, axis=(0, 1, 2))
+    dxh = (dyf * w.astype(jnp.float32)).reshape(B, H, W, g, C // g)
+    xh5 = xh.reshape(B, H, W, g, C // g)
+    m1 = jnp.mean(dxh, axis=(1, 2, 4), keepdims=True)
+    m2 = jnp.mean(dxh * xh5, axis=(1, 2, 4), keepdims=True)
+    dx = (r * (dxh - m1 - xh5 * m2)).reshape(B, H, W, C).astype(dy.dtype)
+    # cotangent must mirror p's full structure (zero for any extra leaves)
+    dp = jax.tree.map(jnp.zeros_like, p)
+    dp["weight"] = dw.astype(w.dtype)
+    dp["bias"] = db.astype(p["bias"].dtype)
+    return dp, dx
+
+
+_group_norm_affine.defvjp(_group_norm_affine_fwd, _group_norm_affine_bwd)
 
 
 def affine(p, x):

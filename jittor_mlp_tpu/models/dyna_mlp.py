@@ -11,6 +11,7 @@ branches then projects (ln 96-111); PreNorm residual pairs with channel FF
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import nnf, pytree
@@ -22,6 +23,45 @@ dynamlp_settings = {
     "M": [[7, 2], [256, 512], [7, 17], [8, 16], 3, 0.1, 2],
     "L": [[7, 2], [256, 512], [9, 27], [8, 16], 3, 0.3, 8],
 }
+
+
+@jax.custom_vjp
+def _attn_apply_unrolled(attn, xs):
+    """y[...,v,d] = Σ_w attn[...,v,w]·xs[...,w,d] as W broadcast-FMA terms.
+
+    attn: (B,H,s,V,W); xs: (B,H,s,W,d) → (B,H,s,V,d). The VPU form of the
+    16k-tiny-tile contraction (see _dyna_op docstring). The custom VJP keeps
+    the backward on the VPU too: dxs is the SAME unroll with attn
+    transposed (v↔w roles swap), dattn is W elementwise-mul d-reductions —
+    XLA's autodiff of the python loop instead stacked W full-size
+    slice-gradients in HBM."""
+    W = xs.shape[3]
+    acc = attn[..., 0:1] * xs[:, :, :, 0:1]
+    for w in range(1, W):
+        acc = acc + attn[..., w:w + 1] * xs[:, :, :, w:w + 1]
+    return acc
+
+
+def _attn_apply_fwd(attn, xs):
+    return _attn_apply_unrolled(attn, xs), (attn, xs)
+
+
+def _attn_apply_bwd(res, dy):
+    attn, xs = res
+    W = xs.shape[3]
+    dxs_terms = []
+    dattn_terms = []
+    for w in range(W):
+        # dxs[...,w,:] = Σ_v attn[...,v,w]·dy[...,v,:]
+        dxs_terms.append(jnp.sum(attn[..., w:w + 1] * dy, axis=3))
+        # dattn[...,v,w] = Σ_d dy[...,v,d]·xs[...,w,d]
+        dattn_terms.append(jnp.sum(dy * xs[:, :, :, w:w + 1], axis=-1))
+    dxs = jnp.stack(dxs_terms, axis=3).astype(xs.dtype)
+    dattn = jnp.stack(dattn_terms, axis=-1).astype(attn.dtype)
+    return dattn, dxs
+
+
+_attn_apply_unrolled.defvjp(_attn_apply_fwd, _attn_apply_bwd)
 
 
 def _dyna_op(op, x, seg, hidden, axis, train=False):
@@ -57,11 +97,13 @@ def _dyna_op(op, x, seg, hidden, axis, train=False):
     attn = nnf.linear(op["attend"], attn).reshape(B, H, seg, W, W)
     attn = nnf.softmax(attn, axis=-1)
     x5 = x.reshape(B, H, W, seg, d)
-    if x.dtype == jnp.bfloat16 and B >= 64 and not train:
+    if x.dtype == jnp.bfloat16 and B >= 64:
+        # train too (r4): the custom VJP below computes dx as the transposed
+        # unroll and dattn as W d-reductions, avoiding XLA's
+        # re-materialization of the W slice-grads that made the naive
+        # autodiff unroll LOSE in training (306 vs 391 img/s at b32)
         xs = x5.transpose(0, 1, 3, 2, 4)  # B,H,s,w,d
-        acc = attn[..., 0:1] * xs[:, :, :, 0:1]
-        for w in range(1, W):
-            acc = acc + attn[..., w:w + 1] * xs[:, :, :, w:w + 1]
+        acc = _attn_apply_unrolled(attn, xs)
         y = acc.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)
     else:
         y = jnp.einsum("bhsvw,bhwsd->bhvsd", attn, x5,

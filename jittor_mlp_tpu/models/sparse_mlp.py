@@ -80,7 +80,14 @@ def SparseMLP(
                 # 2.38x/1.37x/2.70x at stages 2-4; 0.86x at d=96 where the
                 # concat is cheap, so stage 1 keeps it)
                 if d >= 192:
-                    wf = sm["fuse"]["weight"][:, :, 0, 0]  # (d, 3d) OI
+                    # .astype matches nnf.conv2d's 1x1-path dtype behavior
+                    # so the two branches agree if param dtype ever
+                    # diverges from activation dtype. NB under
+                    # config.int8_mode() this branch quantizes the three
+                    # sources with per-source activation scales instead of
+                    # one shared scale over the 3d concat (documented in
+                    # docs/PERFORMANCE.md).
+                    wf = sm["fuse"]["weight"][:, :, 0, 0].astype(y.dtype)
                     y = (
                         nnf._dense(x_h, wf[:, :d].T)
                         + nnf._dense(x_w, wf[:, d:2 * d].T)

@@ -49,15 +49,20 @@ def _mix_w(p, x, s):
 
 
 def split_attention(p, branches):
-    """vip.py:37-57 / s2_mlp_v2.py:31-51: softmax-over-k channel gating."""
-    x_all = jnp.stack(branches, 1)  # (B, k, H, W, C)
-    B, k, H, W, C = x_all.shape
-    xf = x_all.reshape(B, k, H * W, C)
-    a = jnp.sum(xf, axis=(1, 2))
+    """vip.py:37-57 / s2_mlp_v2.py:31-51: softmax-over-k channel gating.
+
+    The reference stacks the k branches into (B, k, H, W, C) purely for
+    bookkeeping; that materializes k× the activation in HBM. Here the gate
+    input is the running sum of the branches and the gated output a
+    weighted sum over the unstacked branches — same math up to f32
+    reassociation (strict-parity tested), no stacked buffer
+    (tools/vip_probe.py measures the delta with the real mixer branches)."""
+    B, H, W, C = branches[0].shape
+    k = len(branches)
+    a = jnp.sum(sum(branches), axis=(1, 2))  # (B, C)
     hat = nnf.linear(p["mlp2"], nnf.gelu(nnf.linear(p["mlp1"], a)))
     bar = jax.nn.softmax(hat.reshape(B, k, C), axis=1)
-    out = jnp.sum(bar[:, :, None, :] * xf, axis=1)
-    return out.reshape(B, H, W, C)
+    return sum(bar[:, i, None, None, :] * b for i, b in enumerate(branches))
 
 
 def ViP(

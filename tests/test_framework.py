@@ -404,3 +404,73 @@ def test_remat_mode_zoo_wide():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_group_norm_custom_vjp_matches_autodiff():
+    """nnf.group_norm's affine path carries a hand-written VJP (AS-MLP's
+    backward was GroupNorm-dominated, docs/PERFORMANCE.md); it must equal
+    XLA autodiff of the plain composed form for dx, dweight, dbias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jittor_mlp_tpu.core import nnf
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 4, 4, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    p = {"weight": jnp.asarray(rng.standard_normal(C), jnp.float32),
+         "bias": jnp.asarray(rng.standard_normal(C), jnp.float32)}
+    co = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    for g in (1, 2, 4):
+        def plain(p, x):
+            xf = x.reshape(B, H, W, g, C // g)
+            mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4),
+                           keepdims=True)
+            y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).reshape(B, H, W, C)
+            return y * p["weight"] + p["bias"]
+
+        g1p, g1x = jax.grad(
+            lambda p, x: jnp.sum(nnf.group_norm(p, x, g) * co),
+            argnums=(0, 1))(p, x)
+        g2p, g2x = jax.grad(
+            lambda p, x: jnp.sum(plain(p, x) * co), argnums=(0, 1))(p, x)
+        np.testing.assert_allclose(np.asarray(g1x), np.asarray(g2x),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(g1p["weight"]),
+                                   np.asarray(g2p["weight"]),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(g1p["bias"]),
+                                   np.asarray(g2p["bias"]),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_dyna_unrolled_attn_custom_vjp_matches_einsum():
+    """The DynaMixer VPU unroll's hand-written VJP (enabled in training as
+    of r4) must match autodiff of the einsum contraction for both inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jittor_mlp_tpu.models.dyna_mlp import _attn_apply_unrolled
+
+    rng = np.random.default_rng(1)
+    B, H, s, V, W, d = 2, 3, 2, 4, 4, 5
+    attn = jnp.asarray(rng.standard_normal((B, H, s, V, W)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((B, H, s, W, d)), jnp.float32)
+    co = jnp.asarray(rng.standard_normal((B, H, s, V, d)), jnp.float32)
+
+    def ref(a, x):
+        return jnp.einsum("bhsvw,bhswd->bhsvd", a, x)
+
+    np.testing.assert_allclose(
+        np.asarray(_attn_apply_unrolled(attn, xs)), np.asarray(ref(attn, xs)),
+        rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda a, x: jnp.sum(_attn_apply_unrolled(a, x) * co),
+                  (0, 1))(attn, xs)
+    g2 = jax.grad(lambda a, x: jnp.sum(ref(a, x) * co), (0, 1))(attn, xs)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -238,3 +238,70 @@ def test_block_runner_scope_reaches_kwargless_families():
         # Model's jit cache can't replay a scope-free trace
         got = np.asarray(jax.jit(dense.apply)(dense.params, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+ASMLP_KW = dict(img_size=16, patch_size=4, embed_dim=16, depths=[2, 2],
+                shift_size=3, mlp_ratio=2.0, num_classes=8,
+                drop_path_rate=0.0)
+
+
+def test_pipeline_hierarchical_asmlp_forward_matches():
+    """GPipe spans a hierarchical model (resolution + width change between
+    stages): each of AS-MLP's two stages runs as a 2-stage pipeline over
+    'model' via block_runner_scope, the PatchMerging transition executes
+    replicated in between, and the generalized pipeline_shardings places
+    every per-stage blocks subtree on its stage owners."""
+    from jittor_mlp_tpu.parallel import block_runner_scope
+
+    mesh = make_mesh(8, model_parallel=2)
+    dense = jm.AS_MLP(**ASMLP_KW)
+    piped = jm.AS_MLP(**ASMLP_KW)
+    p0 = jax.tree.map(np.asarray, dense.params)
+    piped.params = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    x = _x()
+    want = np.asarray(dense(x))
+    runner = pipeline_runner(mesh, microbatches=2, data_axis="data")
+    with mesh, block_runner_scope(runner):
+        got = np.asarray(piped(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipelined_train_step_hierarchical_asmlp_matches_dense():
+    """Microbatched GPipe TRAINING on the hierarchical model: the live-rng
+    scan path (per-layer drop-path keys) now routes through the runner with
+    a global-layer-index fold channel, so the pipelined step reproduces the
+    dense step exactly (drop_path_rate=0 keeps masks inert — stochastic
+    depth under PP draws per-microbatch masks, a different-but-valid
+    randomness)."""
+    import optax
+
+    from jittor_mlp_tpu.parallel import block_runner_scope
+    from jittor_mlp_tpu.parallel.train import split_params
+
+    mesh = make_mesh(8, model_parallel=2)
+    dense = jm.AS_MLP(**ASMLP_KW)
+    piped = jm.AS_MLP(**ASMLP_KW)
+    opt = optax.sgd(0.1)
+    batch = {
+        "image": jnp.asarray(_x()),
+        "label": jnp.arange(8, dtype=jnp.int32) % 8,
+    }
+    rng = jax.random.PRNGKey(0)
+    p0 = jax.tree.map(np.asarray, dense.params)
+    p_dense = jax.tree.map(jnp.asarray, p0)
+    t0, _, _, _ = split_params(p_dense)
+    d_params, _, d_loss = make_train_step(dense.apply, opt)(
+        p_dense, opt.init(t0), batch, rng
+    )
+    p_piped = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    t0p, _, _, _ = split_params(p_piped)
+    runner = pipeline_runner(mesh, microbatches=2, data_axis="data")
+    with mesh, block_runner_scope(runner):
+        p_params, _, p_loss = make_train_step(piped.apply, opt)(
+            p_piped, opt.init(t0p), batch, rng
+        )
+    np.testing.assert_allclose(float(p_loss), float(d_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(d_params), jax.tree.leaves(p_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -5,7 +5,12 @@ into (B, 3, H, W, C) to (a) sum them for the gate MLP input and (b) apply
 the softmax gate. The stack materializes 3x the activation in HBM purely
 for bookkeeping: the gate input is just b1+b2+b3 summed over (H,W), and the
 gated output is bar1*b1 + bar2*b2 + bar3*b3 — both expressible on the
-unstacked branches.
+unstacked branches (the form models/vip.py now ships).
+
+The probe measures one FULL WeightedPermutator mixer (real _mix_h/_mix_w
+segment-permute einsums + channel linear from the built model's params, at
+the driver config geometry) under both gating forms, so the printed ratio
+is the honest per-block delta, not a stand-in-branch exaggeration.
 
 Usage: python tools/vip_probe.py [batch]
 """
@@ -40,20 +45,33 @@ def timed(fn, args, iters=50):
 
 
 def main():
+    import jittor_mlp_tpu as jm
+    from jittor_mlp_tpu.core import nnf
+    from jittor_mlp_tpu.models.vip import _mix_h, _mix_w
+
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    segments = 16
+    model = jm.ViP(d_model=256, depth=1, segments=segments, weighted=True)
+    bp = jax.tree.map(
+        lambda l: l[0].astype(jnp.bfloat16) if l.ndim else l,
+        model.params["blocks"],
+    )
+    t = bp["0"]
+    fns = t["fn"]["0"]["fns"]
+    sa_p = t["fn"]["0"]["split_attention"]
     H = W = 14
     C = 256
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, H, W, C)), jnp.bfloat16)
-    w1 = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.bfloat16)
-    w2 = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.bfloat16)
-    # stand-in branches: three cheap distinct transforms of x
+
     def branches(y):
-        return y, y * 1.5, y + 0.5
+        b1 = _mix_h(fns["0"]["1"], y, segments)
+        b2 = _mix_w(fns["1"]["1"], y, segments)
+        b3 = nnf.linear(fns["2"]["1"], y)
+        return b1, b2, b3
 
     def gate(a):
-        h = jnp.maximum(a @ w1, 0)
-        return (h @ w2).reshape(a.shape[0], 3, C)
+        return nnf.linear(sa_p["mlp2"], nnf.gelu(nnf.linear(sa_p["mlp1"], a)))
 
     def stacked(y):
         b1, b2, b3 = branches(y)
@@ -61,14 +79,15 @@ def main():
         B = x_all.shape[0]
         xf = x_all.reshape(B, 3, H * W, C)
         a = jnp.sum(xf, axis=(1, 2))
-        bar = jax.nn.softmax(gate(a), axis=1)
+        bar = jax.nn.softmax(gate(a).reshape(B, 3, C), axis=1)
         out = jnp.sum(bar[:, :, None, :] * xf, axis=1)
         return out.reshape(B, H, W, C)
 
     def unstacked(y):
         b1, b2, b3 = branches(y)
+        B = y.shape[0]
         a = jnp.sum(b1 + b2 + b3, axis=(1, 2))
-        bar = jax.nn.softmax(gate(a), axis=1)
+        bar = jax.nn.softmax(gate(a).reshape(B, 3, C), axis=1)
         g = bar[:, :, None, None, :]
         return b1 * g[:, 0] + b2 * g[:, 1] + b3 * g[:, 2]
 
@@ -76,7 +95,8 @@ def main():
     sb = timed(unstacked, (x,))
     d = float(jnp.max(jnp.abs(jax.jit(stacked)(x).astype(jnp.float32)
                               - jax.jit(unstacked)(x).astype(jnp.float32))))
-    print(f"b{batch} H=W={H} C={C}: stacked {sa*1e3:6.3f} ms  "
+    print(f"b{batch} H=W={H} C={C} (real mixer branches): "
+          f"stacked {sa*1e3:6.3f} ms  "
           f"unstacked {sb*1e3:6.3f} ms  {sa/sb:5.2f}x  (max|diff| {d:.2e})")
 
 
