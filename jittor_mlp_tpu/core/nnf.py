@@ -277,14 +277,21 @@ def group_norm(p, x, num_groups, eps=1e-5):
     11 ms of the 53 ms step, docs/PERFORMANCE.md). The analytic form
     dx = r·(dŷγ − mean(dŷγ) − x̂·mean(dŷγ·x̂)) saves only x̂ (x.dtype) and
     the per-group rsqrt; reductions stay f32 — the same precision class as
-    the autodiff backward of the f32-cast forward (grad-parity-tested)."""
-    if p is not None and "weight" in p:
+    the autodiff backward of the f32-cast forward (grad-parity-tested).
+
+    bf16 activations only (the mixed-precision production train path):
+    custom_vjp functions reject forward-mode autodiff, and the f32/f64
+    parity paths differentiate through jax.jvp (tests/_grad_parity_impl.py
+    directional derivatives), so they keep the composed form."""
+    if p is not None and "weight" in p and x.dtype == jnp.bfloat16:
         return _group_norm_affine(p, x, num_groups, eps)
     B, H, W, C = x.shape
     xf = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
     mu = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=(1, 2, 4), keepdims=True)
     y = ((xf - mu) * lax.rsqrt(var + eps)).reshape(B, H, W, C).astype(x.dtype)
+    if p is not None and "weight" in p:
+        y = y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return y
 
 

@@ -432,8 +432,11 @@ def test_group_norm_custom_vjp_matches_autodiff():
             y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).reshape(B, H, W, C)
             return y * p["weight"] + p["bias"]
 
+        # _group_norm_affine directly: group_norm gates the custom VJP to
+        # bf16 activations (the mixed-precision train path; jax.jvp paths
+        # keep the composed form), but its grads must be exact in any dtype
         g1p, g1x = jax.grad(
-            lambda p, x: jnp.sum(nnf.group_norm(p, x, g) * co),
+            lambda p, x: jnp.sum(nnf._group_norm_affine(p, x, g, 1e-5) * co),
             argnums=(0, 1))(p, x)
         g2p, g2x = jax.grad(
             lambda p, x: jnp.sum(plain(p, x) * co), argnums=(0, 1))(p, x)
