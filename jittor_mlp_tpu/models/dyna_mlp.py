@@ -24,6 +24,15 @@ dynamlp_settings = {
     "L": [[7, 2], [256, 512], [9, 27], [8, 16], 3, 0.3, 8],
 }
 
+# bf16 batch at which the VPU unroll of the attention application beats the
+# 16k-tiny-tile einsum (measured crossovers — see _dyna_op; tools/dyna_probe.py
+# overrides these for A/B runs). Training crosses later: the custom-VJP
+# backward adds W-term stacks for dattn/dxs that only amortize at b128
+# (measured mixed-precision train img/s, remat, one v5e:
+# b32 114 vs einsum 391; b64 304 vs 363; b128 520 vs 350).
+UNROLL_MIN_BATCH = 64
+UNROLL_MIN_BATCH_TRAIN = 128
+
 
 @jax.custom_vjp
 def _attn_apply_unrolled(attn, xs):
@@ -78,9 +87,11 @@ def _dyna_op(op, x, seg, hidden, axis, train=False):
     img/s at b64, 3,514 at b128. The win inverts below b64 (530 at b16:
     XLA's small-batch layouts make the unrolled slices relayout-bound),
     so small batches keep the einsum, as do f32 runs — it is the parity
-    path, differing only by sum reassociation (≤2e-6) — and training
-    (the unroll's backward re-materializes the W slice-grads: 306 vs 391
-    img/s at the tuned train point). A batch-on-lanes Pallas kernel and
+    path, differing only by sum reassociation (≤2e-6). Training uses the
+    unroll from batch 128 via the custom VJP above (mixed-precision train,
+    remat, one v5e: b128 520 vs einsum 350 img/s; below that the backward's
+    W-term stacks dominate — b32 114 vs 391, b64 304 vs 363 — so the tuned
+    b32 train point keeps the einsum). A batch-on-lanes Pallas kernel and
     five other formulations measured slower (docs/PERFORMANCE.md,
     tools/dyna_probe.py).
     """
@@ -97,11 +108,13 @@ def _dyna_op(op, x, seg, hidden, axis, train=False):
     attn = nnf.linear(op["attend"], attn).reshape(B, H, seg, W, W)
     attn = nnf.softmax(attn, axis=-1)
     x5 = x.reshape(B, H, W, seg, d)
-    if x.dtype == jnp.bfloat16 and B >= 64:
-        # train too (r4): the custom VJP below computes dx as the transposed
-        # unroll and dattn as W d-reductions, avoiding XLA's
-        # re-materialization of the W slice-grads that made the naive
-        # autodiff unroll LOSE in training (306 vs 391 img/s at b32)
+    min_b = UNROLL_MIN_BATCH_TRAIN if train else UNROLL_MIN_BATCH
+    if x.dtype == jnp.bfloat16 and B >= min_b:
+        # r4: in training the unroll runs through the custom VJP below (dx =
+        # transposed unroll, dattn = W d-reductions, both VPU) — measured
+        # faster than the einsum only from b128 (520 vs 350 img/s; at b32/b64
+        # the W-term stacks in the backward dominate and the einsum keeps
+        # 391/363), hence the higher train threshold
         xs = x5.transpose(0, 1, 3, 2, 4)  # B,H,s,w,d
         acc = _attn_apply_unrolled(attn, xs)
         y = acc.transpose(0, 1, 3, 2, 4).reshape(B, H, W, C)

@@ -23,11 +23,11 @@ factory name ("MLPMixerForImageClassification").
 
 TRAIN = {
     "active_mlp": {"factory": "ActivexTiny", "remat": False, "batch": 32, "img_s": 475.6},
-    "as_mlp": {"factory": "AS_MLP", "remat": True, "batch": 32, "img_s": 1440.0},
+    "as_mlp": {"factory": "AS_MLP", "remat": True, "batch": 32, "img_s": 1472.4},
     "conv_mixer": {"factory": "ConvMixer", "remat": True, "batch": 32, "img_s": 233.4},
     "conv_mlp": {"factory": "convmlp_m", "remat": True, "batch": 32, "img_s": 1866.4},
     "cycle_mlp": {"factory": "CycleMLP_B2", "remat": True, "batch": 32, "img_s": 1615.4},
-    "dyna_mlp": {"factory": "DynaMixer", "remat": True, "batch": 32, "img_s": 391.5},
+    "dyna_mlp": {"factory": "DynaMixer", "remat": True, "batch": 128, "img_s": 519.0},
     "g_mlp": {"factory": "gMLPForImageClassification", "remat": True, "batch": 32, "img_s": 1308.8},
     "gfnet": {"factory": "GFNet", "remat": True, "batch": 32, "img_s": 1152.4},
     "gfnet_h_b": {"factory": "GFNetPyramid", "remat": True, "batch": 32, "img_s": 868.5},
@@ -43,7 +43,7 @@ TRAIN = {
     "sequencer": {"factory": "Sequencer2D", "remat": True, "batch": 32, "img_s": 1054.8},
     "sparse_mlp": {"factory": "SparseMLP", "remat": True, "batch": 32, "img_s": 862.0},
     "swin_mlp": {"factory": "SwinMLP", "remat": True, "batch": 32, "img_s": 1558.8},
-    "vip": {"factory": "ViP", "remat": True, "batch": 32, "img_s": 819.4},
+    "vip": {"factory": "ViP", "remat": True, "batch": 32, "img_s": 862.1},
     "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 1039.7},
 }
 

@@ -12,13 +12,23 @@ NOTES = {
                   "of VPU work (measured 5.5 T-MAC/s ≈ XLA's roofline); "
                   "Mosaic blocks in-kernel sublane shifts, so a fused Pallas "
                   "dw kernel cannot beat it (see BENCHMARKS notes)",
-    "dyna_mlp": "content-dependent per-(row,segment) W×W attention = 16k-batched "
-                "16×16 matmuls/layer — MXU-utilization-bound, restructuring "
-                "measured slower; train under remat beats storing the tiny "
-                "attention tiles (294 → 388)",
+    "dyna_mlp": "the W-length attention contraction (71% of fwd as 16k tiny "
+                "batched matmuls at 0.13 TF/s) unrolls into VPU "
+                "broadcast-FMAs at batch ≥ 64 (1,338 → 1,902; 3,514 at "
+                "b128); training unrolls from b128 through a custom VJP "
+                "whose backward stays on the VPU (350 → 520 img/s — below "
+                "b128 the backward's W-term stacks dominate and the einsum "
+                "keeps b32 at 391); small-batch/f32 keep the einsum — six "
+                "other formulations incl. a Pallas kernel measured slower "
+                "(docs/PERFORMANCE.md, tools/dyna_probe.py)",
     "active_mlp": "learned float offsets: dense hat-function bilinear "
                   "contraction (85× over gather lowering; 15 GF/img vs "
-                  "CycleMLP's 2.4)",
+                  "CycleMLP's 2.4); opt-in `offset_band=D` sampler: fwd "
+                  "3,329 / train 1,242 at D=2, exact while offsets stay in "
+                  "band (docs/PERFORMANCE.md)",
+    "as_mlp": "analytic GroupNorm custom VJP on the bf16 train path (saves "
+              "x-hat + per-group rsqrt instead of XLA's autodiff residuals): "
+              "train 1,434 → 1,472 img/s",
     "repmlpnet": "Local-Perceptron repconv as a full-C tiled depthwise conv "
                  "(the reference's grouped layout uses S=1..128 in-channels "
                  "= 1/128 lanes at stage 0): fwd 3,598 → 5,327; train under "
@@ -36,6 +46,16 @@ NOTES = {
                 "5,997 img/s",
     "mlp_mixer": "fused Pallas block; 6,269 img/s at the driver's batch 256 "
                  "(bench.py)",
+    "sparse_mlp": "sMLP fuse 1×1 over `cat([x_h,x_w,x])` split into three "
+                  "d→d matmuls at d≥192 stages — the 3d-channel concat never "
+                  "materializes (tools/sparse_probe.py: 2.4×/1.4×/2.7× on "
+                  "the sub-block): fwd 3,943 → 4,201, train 820 → 862",
+    "wave_mlp": "tfc group-of-2 grouped conv split into two full-C depthwise "
+                "convs (even/odd channel streams; 2/128 → full lanes): fwd "
+                "3,632 → 4,394, train 523 → 1,040 (tools/wave_probe.py)",
+    "vip": "SplitAttention gate/output computed on the unstacked branches — "
+           "no (B,k,H,W,C) HBM buffer (models/vip.py): fwd 4,754 → 5,047 at "
+           "b64 (7,625 at b256), train 819 → 862 (tools/vip_probe.py)",
 }
 
 
@@ -89,12 +109,16 @@ def main():
             continue
         note = NOTES.get(r["model"], "")
         t = train.get(r["model"], {})
-        tcell = (
-            f"{t['train_fps']:,.0f}"
-            + (" (remat)" if t.get("train_remat") else "")
-            if "train_fps" in t
-            else ("ERR" if "train_error" in t else "—")
-        )
+        if "train_fps" in t:
+            tags = []
+            if t.get("train_remat"):
+                tags.append("remat")
+            if t.get("train_batch", 32) != 32:
+                tags.append(f"b{t['train_batch']}")
+            tcell = f"{t['train_fps']:,.0f}" + (
+                f" ({', '.join(tags)})" if tags else "")
+        else:
+            tcell = "ERR" if "train_error" in t else "—"
         out.append(
             f"| {r['model']} | {r['params']:,} | {r['fps']:,.0f} "
             f"| {tcell} | {note} |"
@@ -109,6 +133,10 @@ def main():
         "mixed costs ~2% over bf16 and keeps f32 update numerics. The bf16",
         "backward differentiates the same hardware-tanh GELU the fused",
         "forward computes (was exact-erf: +35% train throughput).",
+        "",
+        "Serving-precision numerics (bf16 default and dynamic-W8A8 int8) are",
+        "tabulated zoo-wide in PARITY_BF16.md (generated by",
+        "tools/serving_table.py from serving_sweep.jsonl, b256 on-chip).",
         "",
         "Models under ~2k img/s are at measured architectural rooflines, not",
         "missing optimization — each note states the binding limit; the",

@@ -14,8 +14,11 @@ is the honest per-block delta, not a stand-in-branch exaggeration.
 
 Usage: python tools/vip_probe.py [batch]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +70,7 @@ def main():
     def branches(y):
         b1 = _mix_h(fns["0"]["1"], y, segments)
         b2 = _mix_w(fns["1"]["1"], y, segments)
-        b3 = nnf.linear(fns["2"]["1"], y)
+        b3 = nnf.linear(fns["2"], y)
         return b1, b2, b3
 
     def gate(a):
