@@ -41,7 +41,7 @@ TRAIN = {
     "s2_mlp_v1": {"factory": "S2MLPv1_wide", "remat": True, "batch": 32, "img_s": 1317.8},
     "s2_mlp_v2": {"factory": "S2MLPv2", "remat": True, "batch": 32, "img_s": 1430.8},
     "sequencer": {"factory": "Sequencer2D", "remat": True, "batch": 32, "img_s": 1054.8},
-    "sparse_mlp": {"factory": "SparseMLP", "remat": True, "batch": 32, "img_s": 862.0},
+    "sparse_mlp": {"factory": "SparseMLP", "remat": True, "batch": 32, "img_s": 857.7},
     "swin_mlp": {"factory": "SwinMLP", "remat": True, "batch": 32, "img_s": 1558.8},
     "vip": {"factory": "ViP", "remat": True, "batch": 32, "img_s": 862.1},
     "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 1039.7},

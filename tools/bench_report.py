@@ -49,7 +49,7 @@ NOTES = {
     "sparse_mlp": "sMLP fuse 1×1 over `cat([x_h,x_w,x])` split into three "
                   "d→d matmuls at d≥192 stages — the 3d-channel concat never "
                   "materializes (tools/sparse_probe.py: 2.4×/1.4×/2.7× on "
-                  "the sub-block): fwd 3,943 → 4,201, train 820 → 862",
+                  "the sub-block): fwd 3,943 → 4,197, train 820 → 858",
     "wave_mlp": "tfc group-of-2 grouped conv split into two full-C depthwise "
                 "convs (even/odd channel streams; 2/128 → full lanes): fwd "
                 "3,632 → 4,394, train 523 → 1,040 (tools/wave_probe.py)",
