@@ -146,9 +146,16 @@ def pipeline_shardings(params, mesh, blocks_key="blocks", axis="model"):
     rep = NamedSharding(mesh, P())
 
     def spec_for(path, x):
-        in_blocks = any(
-            getattr(k, "key", None) == blocks_key for k in path
-        )
+        in_blocks = False
+        for i, k in enumerate(path):
+            if getattr(k, "key", None) == blocks_key:
+                # a LIST of per-block dicts (models that stack at trace
+                # time, e.g. swin_mlp) has a sequence index right after
+                # 'blocks' — those leaves carry no leading layer axis, so
+                # they replicate; stacked subtrees shard their layer axis
+                nxt = path[i + 1] if i + 1 < len(path) else None
+                in_blocks = not hasattr(nxt, "idx")
+                break
         if in_blocks and getattr(x, "ndim", 0) >= 1:
             return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
         return rep

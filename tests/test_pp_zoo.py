@@ -3,23 +3,23 @@
 Round 3's PP proof covered flat stacks (Mixer/gMLP/ResMLP) and round 4's
 hierarchical generalization covered AS-MLP. This sweep closes the reach
 question: every family whose blocks run through ``nnf.scan_blocks`` —
-19 of 22 — executes pipeline-parallel via ``block_runner_scope`` with NO
-model-code changes, each stage stack as its own GPipe pipeline over the
-'model' mesh axis (DP over 'data'), stage transitions (PatchMerging,
+plus SwinMLP, whose regular shift-0/shifted alternation scans as block
+PAIRS when a runner is active — 20 of 22 — executes pipeline-parallel via
+``block_runner_scope``, each stage stack as its own GPipe pipeline over
+the 'model' mesh axis (DP over 'data'), stage transitions (PatchMerging,
 downsample convs) replicated in between. The oracle is exact forward
 agreement with the dense model, per family, on the virtual 8-device mesh.
 
 Depths are adjusted where a tiny-config stack isn't divisible by the stage
-count (GPipe owns L/P contiguous layers per stage); everything else reuses
-tools/parity_report.build_cases geometry.
+count (GPipe owns L/P contiguous layers per stage; Swin pairs halve the
+stack); everything else reuses tools/parity_report.build_cases geometry.
 
-Out of reach, by structure (not by implementation gap): SwinMLP (the
-shift-size alternates per block — ref swin_mlp.py:119-150), RaftMLP
+Out of reach, by structure (not by implementation gap): RaftMLP
 (multi-level shortcut fusion reads every level's output — ref
-raft_mlp.py:519-548), ActiveMLP (offsets regenerate every ``intv`` blocks
-and feed forward — ref active_mlp.py:152-166): their block sequences are
-Python-level heterogeneous, so there is no homogeneous stacked-params scan
-to shard into stages. Documented in docs/USAGE.md.
+raft_mlp.py:519-548) and ActiveMLP (offsets regenerate every ``intv``
+blocks and feed forward — ref active_mlp.py:152-166): their block
+sequences are Python-level heterogeneous, so there is no homogeneous
+stacked-params scan to shard into stages. Documented in docs/USAGE.md.
 """
 
 import numpy as np
@@ -105,6 +105,12 @@ CASES = [
     ("res_mlp", lambda: jm.ResMLPForImageClassification(
         d_model=32, depth=4, patch_size=4, image_size=32, num_classes=10,
         expansion_factor=2), 32),
+    # paired-scan layout (round 4): each scan step is a (shift-0, shifted)
+    # block pair, so 4-deep stages give 2 pairs = 2 pipeline stages
+    ("swin_mlp", lambda: jm.SwinMLP(
+        img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+        depths=[4, 4], num_heads=[2, 4], window_size=4,
+        drop_path_rate=0.0), 32),
 ]
 
 
