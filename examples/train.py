@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--classes", type=int, default=10)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--pipeline-stages", type=int, default=0,
+                    help="GPipe pipeline parallelism: shard each block stack "
+                         "into this many stages over the 'model' mesh axis "
+                         "(20/22 families, docs/USAGE.md; overrides "
+                         "--model-parallel)")
+    ap.add_argument("--microbatches", type=int, default=4,
+                    help="microbatches streamed through the pipeline "
+                         "(--pipeline-stages only; batch must divide)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="bf16 forward/backward, f32 master weights")
@@ -101,10 +109,34 @@ def main():
     config.remat = use_remat
 
     n_dev = len(jax.devices())
-    mp = args.model_parallel
+    pp = args.pipeline_stages
+    mp = pp if pp > 1 else args.model_parallel
     mesh = make_mesh((n_dev // mp) * mp, model_parallel=mp)
     optimizer = optax.adamw(args.lr)
-    params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
+    runner_scope = None
+    if pp > 1:
+        # GPipe: stages own contiguous layers of every block stack
+        # ('model' axis); microbatches stream over ICI, DP over 'data'
+        from jittor_mlp_tpu.parallel import (
+            block_runner_scope,
+            pipeline_runner,
+            pipeline_shardings,
+        )
+        from jittor_mlp_tpu.parallel.train import split_params
+
+        if args.batch % args.microbatches:
+            raise SystemExit("--batch must divide by --microbatches")
+        params = jax.device_put(
+            model.params, pipeline_shardings(model.params, mesh)
+        )
+        train, _, _, _ = split_params(params)
+        opt_state = optimizer.init(train)
+        runner_scope = block_runner_scope(pipeline_runner(
+            mesh, microbatches=args.microbatches, data_axis="data"
+        ))
+        print(f"pipeline: {pp} stages x {args.microbatches} microbatches")
+    else:
+        params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
     bsh = batch_sharding(mesh)
 
     train_step = make_train_step(
@@ -218,7 +250,9 @@ def main():
 
     t0 = time.time()
     t_step = time.time()
-    with mesh:
+    import contextlib
+
+    with mesh, (runner_scope or contextlib.nullcontext()):
         for step in range(start, args.steps):
             # per-step derivation (not split-chaining) so a resumed run's
             # dropout/augment stream is identical to an uninterrupted one
