@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from . import pytree
+from . import nnf, pytree
 
 
 class Model:
@@ -128,9 +128,12 @@ class Model:
     # -- forward --------------------------------------------------------------
 
     def _jitted(self):
+        # the active block runner (nnf.block_runner_scope) changes the traced
+        # graph — without it in the key, a model first called densely would
+        # silently reuse its dense trace inside a pipeline/SP scope
         key = (config.compute_dtype, config.matmul_precision, config.remat,
                self.training, config.fast_compile, config.int8_matmul,
-               config.pallas_bwd)
+               config.pallas_bwd, nnf._block_runner)
         fn = self._jit_cache.get(key)
         if fn is None:
             train = self.training

@@ -240,6 +240,44 @@ def test_block_runner_scope_reaches_kwargless_families():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_model_call_retraces_when_runner_scope_changes():
+    """Model.__call__'s jit cache keys on the active block runner: a model
+    first called densely must NOT replay its dense trace inside a
+    block_runner_scope (regression: the runner was silently skipped), and
+    leaving the scope must restore the dense trace."""
+    from jittor_mlp_tpu.core import nnf
+    from jittor_mlp_tpu.parallel import block_runner_scope
+
+    model = jm.MLPMixerForImageClassification(
+        d_model=32, depth=4, patch_size=4, image_size=16, num_classes=8,
+        expansion_factor=2, use_pallas=False,
+    )
+    x = _x()
+    want = np.asarray(model(x))  # dense trace cached through __call__
+
+    calls = {"n": 0}
+
+    def counting_runner(block_fn, stacked_params, h):
+        calls["n"] += 1
+        from jax import lax as _lax
+
+        def body(c, bp):
+            return block_fn(bp, c), None
+
+        out, _ = _lax.scan(body, h, stacked_params)
+        return out
+
+    with block_runner_scope(counting_runner):
+        got = np.asarray(model(x))  # same Model object, same shapes
+    assert calls["n"] > 0, "runner never reached: stale dense trace replayed"
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    calls["n"] = 0
+    after = np.asarray(model(x))  # outside the scope: dense again
+    assert calls["n"] == 0
+    np.testing.assert_allclose(after, want, rtol=1e-5, atol=1e-6)
+
+
 ASMLP_KW = dict(img_size=16, patch_size=4, embed_dim=16, depths=[2, 2],
                 shift_size=3, mlp_ratio=2.0, num_classes=8,
                 drop_path_rate=0.0)
