@@ -48,4 +48,10 @@ def throughput(apply_fn, params, batch_shape, iters=20, dtype=None, repeats=3):
 
     timed(1)  # compile
     dt = timed(iters) - timed(1)
+    # small batches push the whole window under dispatch noise (measured:
+    # b1 deltas can go NEGATIVE); widen until the delta is trustworthy
+    while dt < 0.02 and iters < 20_000:
+        iters *= 4
+        dt = timed(iters) - timed(1)
+    assert dt > 0, f"unstable timing (dt={dt:.4f}s at iters={iters})"
     return batch_shape[0] * (iters - 1) / dt
