@@ -91,7 +91,11 @@ def execution_order_ids(apply_fn, params, x, rng=None):
     tagged, n_sites = tag_bn_sites(params)
     if n_sites == 0:
         return ()
-    stats = collect_bn_stats(apply_fn, tagged, x, rng)
+    # site discovery always probes the DENSE path: a distributed block
+    # runner (nnf.block_runner_scope) requires microbatch-divisible batches
+    # and would reject this B=1 probe; execution order is runner-invariant
+    with nnf.block_runner_scope(None):
+        stats = collect_bn_stats(apply_fn, tagged, x, rng)
     return tuple(
         int(np.asarray(sid).reshape(-1)[0]) for sid, _m, _v, _n in stats
     )

@@ -174,6 +174,19 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
                     apply_fn, params, batch["image"][:1], rng
                 )
             )
+        if state["exec_ids"] and nnf._block_runner is not None:
+            # BN running-stat collection crosses the runner's shard_map
+            # boundary (per-stage tracers can't join the outer params), and
+            # GPipe's per-microbatch stats would diverge from torch's
+            # per-batch EMA anyway — fail fast with the supported recipe
+            # instead of an opaque mesh/tracer error at trace time.
+            raise RuntimeError(
+                "BatchNorm running-stat updates are not supported under a "
+                "block runner (pipeline/SP scope). Train with "
+                "make_train_step(..., bn_momentum=None) and refresh stats "
+                "afterwards with train_utils.recalibrate_bn outside the "
+                "scope."
+            )
         return jitted(params, opt_state, batch, rng)
 
     return run

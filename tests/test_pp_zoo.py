@@ -114,6 +114,44 @@ CASES = [
 ]
 
 
+def test_pp_train_bn_contract():
+    """PP training on a BatchNorm family: running-stat collection cannot
+    cross the runner's shard_map boundary (and GPipe's per-microbatch stats
+    would diverge from torch's per-batch EMA), so make_train_step fails
+    fast with the supported recipe — bn_momentum=None trains, stats frozen,
+    recalibrate_bn outside the scope refreshes them."""
+    import jax.numpy as jnp
+    import optax
+
+    from jittor_mlp_tpu.parallel import make_train_step
+    from jittor_mlp_tpu.parallel.train import split_params
+
+    mesh = make_mesh(8, model_parallel=2)
+    m = jm.WaveMLP(model_name="PP_XS", num_classes=8)
+    p0 = jax.tree.map(np.asarray, m.params)
+    opt = optax.sgd(0.1)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (8, 3, 64, 64)).astype(np.float32)),
+        "label": jnp.arange(8, dtype=jnp.int32) % 8,
+    }
+    runner = pipeline_runner(mesh, microbatches=2, data_axis="data")
+
+    params = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    t0, _, _, _ = split_params(params)
+    with mesh, block_runner_scope(runner):
+        with pytest.raises(RuntimeError, match="bn_momentum=None"):
+            make_train_step(m.apply, opt)(
+                params, opt.init(t0), batch, jax.random.PRNGKey(0)
+            )
+        params = jax.device_put(p0, pipeline_shardings(p0, mesh))
+        _, _, loss = make_train_step(m.apply, opt, bn_momentum=None)(
+            params, opt.init(t0), batch, jax.random.PRNGKey(0)
+        )
+    assert np.isfinite(float(loss))
+
+
 @pytest.mark.parametrize("name,build,img", CASES, ids=[c[0] for c in CASES])
 def test_pipelined_forward_matches_dense(name, build, img):
     mesh = make_mesh(8, model_parallel=2)
