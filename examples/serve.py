@@ -90,6 +90,17 @@ def main():
         return arr[None, top:top + s, left:left + s]
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/stats":
+                self.send_error(404)
+                return
+            blob = json.dumps(pred.latency_stats()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
         def do_POST(self):
             if self.path != "/classify":
                 self.send_error(404)

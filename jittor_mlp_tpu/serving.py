@@ -18,6 +18,8 @@ any zoo Model with the production plumbing XLA wants:
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax
@@ -93,6 +95,10 @@ class Predictor:
 
         self._fwd = jax.jit(fwd)
         self._params = params
+        # per-request wall-clock ring buffer (seconds); sized for steady
+        # percentile estimates without unbounded growth
+        self._lat = np.zeros(1024, np.float64)
+        self._lat_n = 0
 
     def warmup(self):
         """Compile the serving graph ahead of traffic."""
@@ -124,5 +130,29 @@ class Predictor:
             pad = np.zeros((self.batch_size - n, *images.shape[1:]),
                            images.dtype)
             images = np.concatenate([images, pad])
+        t0 = time.perf_counter()
         idx, probs = self._fwd(self._params, jnp.asarray(images))
-        return np.asarray(idx)[:n], np.asarray(probs)[:n]
+        out = np.asarray(idx)[:n], np.asarray(probs)[:n]
+        # np.asarray above is the device sync, so the stopwatch covers
+        # upload + forward + top-k download: the end-to-end request time
+        self._lat[self._lat_n % self._lat.size] = time.perf_counter() - t0
+        self._lat_n += 1
+        return out
+
+    def latency_stats(self):
+        """Request-latency percentiles over the recent window (up to the
+        last 1024 ``predict`` calls, warmup/compile call included until it
+        rotates out). Returns {} before any request; times in ms."""
+        n = min(self._lat_n, self._lat.size)
+        if n == 0:
+            return {}
+        w = np.sort(self._lat[:n]) * 1000.0
+        q = lambda p: float(w[min(int(p * n), n - 1)])
+        return {
+            "count": self._lat_n,
+            "mean_ms": float(w.mean()),
+            "p50_ms": q(0.50),
+            "p95_ms": q(0.95),
+            "p99_ms": q(0.99),
+            "max_ms": float(w[-1]),
+        }

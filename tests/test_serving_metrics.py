@@ -41,6 +41,20 @@ def test_predictor_resizes_and_rejects_oversize():
         pass
 
 
+def test_predictor_latency_stats():
+    """Per-request latency observability: empty before traffic, sane
+    percentiles after; the window covers upload+forward+download."""
+    p = jm.Predictor(_tiny_model(), batch_size=2, image_size=32, bf16=False)
+    assert p.latency_stats() == {}
+    imgs = np.zeros((2, 32, 32, 3), np.uint8)
+    for _ in range(5):
+        p.predict(imgs)
+    s = p.latency_stats()
+    assert s["count"] == 5
+    assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["p99_ms"] <= s["max_ms"]
+    assert s["mean_ms"] > 0
+
+
 def test_metrics_logger_roundtrip(tmp_path):
     path = str(tmp_path / "m.jsonl")
     log = MetricsLogger(path, flush_every=2, extra={"model": "t"})

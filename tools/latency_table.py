@@ -47,21 +47,32 @@ def main():
     if not models:
         raise SystemExit(f"no records in {lat_path}")
 
+    have_b8 = any(b == 8 for (_, b) in lat)
     lines = [
         "# LATENCY — zoo-wide small-batch serving latency (one v5e chip, "
         "bf16)",
         "",
         "Steady-state forward latency via compare.py's scalar-fetch timing",
         "protocol (jitted loop average — per-inference device time, no host",
-        "preprocessing). b64 throughput from bench_sweep.jsonl for the",
-        "latency↔throughput tradeoff; `b1→b64` is the throughput ratio (how",
-        "much of the chip batch-1 serving leaves on the table). The",
-        "reference measures batch-32 throughput only (compare.py:22-31).",
+        "preprocessing; the timed window auto-widens until the delta clears",
+        "dispatch noise, utils/timing.py). b64 throughput from",
+        "bench_sweep.jsonl for the latency↔throughput tradeoff; `b1→b64` is",
+        "the throughput ratio (how much of the chip batch-1 serving leaves",
+        "on the table). The reference measures batch-32 throughput only",
+        "(compare.py:22-31).",
         "",
-        "| model | b1 ms/img | b1 img/s | b8 ms/batch | b8 img/s | "
-        "b64 img/s | b1→b64 |",
-        "|---|---|---|---|---|---|---|",
     ]
+    if have_b8:
+        lines += [
+            "| model | b1 ms/img | b1 img/s | b8 ms/batch | b8 img/s | "
+            "b64 img/s | b1→b64 |",
+            "|---|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += [
+            "| model | b1 ms/img | b1 img/s | b64 img/s | b1→b64 |",
+            "|---|---|---|---|---|",
+        ]
     for m in models:
         r1 = lat.get((m, 1))
         r8 = lat.get((m, 8))
@@ -73,12 +84,16 @@ def main():
         def f(v, fmt):
             return fmt.format(v) if v is not None else "—"
 
-        lines.append(
+        row = (
             f"| {m} | {f(ms1, '{:.2f}')} | "
-            f"{f(r1 and r1['fps'], '{:,.0f}')} | {f(ms8, '{:.2f}')} | "
-            f"{f(r8 and r8['fps'], '{:,.0f}')} | "
-            f"{f(b and b['fps'], '{:,.0f}')} | {f(scal, '{:.1f}×')} |"
+            f"{f(r1 and r1['fps'], '{:,.0f}')} | "
         )
+        if have_b8:
+            row += (
+                f"{f(ms8, '{:.2f}')} | {f(r8 and r8['fps'], '{:,.0f}')} | "
+            )
+        row += f"{f(b and b['fps'], '{:,.0f}')} | {f(scal, '{:.1f}×')} |"
+        lines.append(row)
     lines.append("")
     out = os.path.join(ROOT, "LATENCY.md")
     with open(out, "w") as fh:
