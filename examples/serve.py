@@ -18,7 +18,7 @@ import io
 import json
 import os
 import sys
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
@@ -35,6 +35,14 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve through the dynamic W8A8 int8 dense path "
                          "(2x MXU rate on TPU; see tests/test_int8.py)")
+    ap.add_argument("--max-delay-ms", type=float, default=2.0,
+                    help="micro-batching deadline: concurrent requests "
+                         "coalesce into one fixed-shape forward, waiting "
+                         "at most this long for the batch to fill "
+                         "(active when --batch > 1)")
+    ap.add_argument("--in-flight", type=int, default=4,
+                    help="padded batches kept in flight concurrently "
+                         "(overlaps the per-call host<->device round trip)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -63,8 +71,15 @@ def main():
         model, batch_size=args.batch, image_size=args.image_size,
         top_k=args.top_k, compute="int8" if args.int8 else None,
     ).warmup()
+    # with a multi-slot batch, concurrent requests coalesce through the
+    # deadline micro-batcher (serving.MicroBatcher) instead of each paying
+    # a padded batch-1 forward — LATENCY.md tabulates the gap this closes
+    batcher = (jm.MicroBatcher(pred, max_delay_ms=args.max_delay_ms,
+                               in_flight=args.in_flight)
+               if args.batch > 1 else None)
     print(f"{args.model} ready on :{args.port} "
-          f"(native decode: {decode_available()})")
+          f"(native decode: {decode_available()}, "
+          f"micro-batching: {'on' if batcher else 'off'})")
 
     def decode(body):
         if decode_available():
@@ -94,7 +109,10 @@ def main():
             if self.path != "/stats":
                 self.send_error(404)
                 return
-            blob = json.dumps(pred.latency_stats()).encode()
+            stats = dict(pred.latency_stats())
+            if batcher is not None:
+                stats["batcher"] = batcher.stats()
+            blob = json.dumps(stats).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(blob)))
@@ -107,11 +125,15 @@ def main():
                 return
             try:
                 body = self.rfile.read(int(self.headers["Content-Length"]))
-                labels, probs = pred.predict(decode(body))
+                if batcher is not None:
+                    labels, probs = batcher.submit(decode(body)[0])
+                else:
+                    labels, probs = pred.predict(decode(body))
+                    labels, probs = labels[0], probs[0]
                 out = {
                     "top_k": [
                         {"label": int(l), "prob": float(p)}
-                        for l, p in zip(labels[0], probs[0])
+                        for l, p in zip(labels, probs)
                     ]
                 }
                 blob = json.dumps(out).encode()
@@ -130,7 +152,10 @@ def main():
         def log_message(self, *a):
             pass
 
-    HTTPServer(("127.0.0.1", args.port), Handler).serve_forever()
+    # threaded server: handler threads block in batcher.submit while the
+    # dispatcher packs them into one device batch (unbatched predict is
+    # internally locked by JAX's dispatch, so threading is safe either way)
+    ThreadingHTTPServer(("127.0.0.1", args.port), Handler).serve_forever()
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ MLP-style image classifiers plus a cross-framework parity harness
 from . import config
 from . import train_recipes
 from .core.model import Model
-from .serving import Predictor
+from .serving import MicroBatcher, Predictor
 from . import deploy
 
 # Model factories — same export surface as the reference zoos
@@ -55,6 +55,7 @@ from .models.sequencer import Sequencer2D
 
 __all__ = [
     "Model",
+    "MicroBatcher",
     "Predictor",
     "deploy",
     "config",
