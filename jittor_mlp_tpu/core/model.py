@@ -147,6 +147,12 @@ class Model:
                 opts = {"exec_time_optimization_effort": -1.0,
                         "memory_fitting_effort": -1.0}
             fn = jax.jit(fwd, compiler_options=opts)
+            # bounded: the runner key is object identity, so per-call
+            # runner closures would otherwise pin executables (and their
+            # meshes) without limit — reuse one runner across calls to
+            # avoid the recompile itself
+            if len(self._jit_cache) >= 8:
+                self._jit_cache.pop(next(iter(self._jit_cache)))
             self._jit_cache[key] = fn
         return fn
 

@@ -151,15 +151,27 @@ def SwinMLP(
                 # stored stack measured -7% fwd locally), and the one-time
                 # stack cost rides the runner's dispatch.
                 off = sum(depths[:i])
+                gids = jnp.arange(off, off + depths[i])
                 stacked = {
                     "a": pytree.stack_layers(lp["blocks"][0::2]),
                     "b": pytree.stack_layers(lp["blocks"][1::2]),
                     "_dpr_a": jnp.asarray(dpr_all[off : off + depths[i]][0::2]),
                     "_dpr_b": jnp.asarray(dpr_all[off : off + depths[i]][1::2]),
+                    "_gid_a": gids[0::2],
+                    "_gid_b": gids[1::2],
                 }
 
                 def pair(bp, h, r):
-                    ra, rb = (None, None) if r is None else _jax.random.split(r)
+                    # drop-path keys fold the GLOBAL block id (stacked as a
+                    # data channel), exactly like the dense loop below —
+                    # keys stay unique across stages (a per-stage pair index
+                    # would collide: stage-0 pair 0 and stage-1 pair 0) and
+                    # dense vs pair-scan training draws identical masks. r
+                    # is only the is-training flag here.
+                    ra = rb = None
+                    if r is not None:
+                        ra = _jax.random.fold_in(rng, bp["_gid_a"])
+                        rb = _jax.random.fold_in(rng, bp["_gid_b"])
                     h = _swin_block(bp["a"], h, H, W, dim, nh, ws, 0,
                                     bp["_dpr_a"], train, ra)
                     return _swin_block(bp["b"], h, H, W, dim, nh, ws,

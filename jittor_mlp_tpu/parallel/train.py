@@ -164,7 +164,25 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
             )
         return params, opt_state, loss
 
-    jitted = jax.jit(step, donate_argnums=(0, 1))
+    # jit cache keyed on everything that changes the traced graph — the
+    # active block runner above all (same contract as Model._jitted: a step
+    # first traced densely must not replay its dense trace inside a
+    # pipeline/SP scope, and vice versa). Bounded: oldest entry evicted so
+    # per-call runner closures can't pin executables without limit.
+    jit_cache = {}
+
+    def jitted():
+        from .. import config
+
+        key = (config.compute_dtype, config.matmul_precision, config.remat,
+               config.fast_compile, config.pallas_bwd, nnf._block_runner)
+        fn = jit_cache.get(key)
+        if fn is None:
+            if len(jit_cache) >= 8:
+                jit_cache.pop(next(iter(jit_cache)))
+            fn = jax.jit(step, donate_argnums=(0, 1))
+            jit_cache[key] = fn
+        return fn
 
     def run(params, opt_state, batch, rng):
         if state["exec_ids"] is None:
@@ -187,7 +205,7 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
                 "afterwards with train_utils.recalibrate_bn outside the "
                 "scope."
             )
-        return jitted(params, opt_state, batch, rng)
+        return jitted()(params, opt_state, batch, rng)
 
     return run
 

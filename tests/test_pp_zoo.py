@@ -152,6 +152,33 @@ def test_pp_train_bn_contract():
     assert np.isfinite(float(loss))
 
 
+def test_swin_pair_scan_drop_path_matches_dense():
+    """Stochastic-depth parity under the pair scan: the pair path folds the
+    GLOBAL block id (stacked as a data channel), exactly like the dense
+    loop, so with the same rng dense and pipelined train-mode forwards draw
+    identical drop-path masks — and keys can't collide across stages (a
+    per-stage pair index would reuse fold_in(rng, 0) in every stage)."""
+    mesh = make_mesh(8, model_parallel=2)
+    build = lambda: jm.SwinMLP(
+        img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+        depths=[4, 4], num_heads=[2, 4], window_size=4,
+        drop_path_rate=0.5)
+    dense = build()
+    piped = build()
+    p0 = jax.tree.map(np.asarray, dense.params)
+    piped.params = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    x = np.random.default_rng(3).standard_normal((8, 3, 32, 32)).astype(
+        np.float32
+    )
+    rng = jax.random.PRNGKey(7)
+    want = np.asarray(dense.apply(dense.params, x, train=True, rng=rng))
+    runner = pipeline_runner(mesh, microbatches=2, data_axis="data")
+    with mesh, block_runner_scope(runner):
+        got = np.asarray(piped.apply(piped.params, x, train=True, rng=rng))
+    assert not np.allclose(want, np.asarray(dense(x)))  # masks actually drew
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("name,build,img", CASES, ids=[c[0] for c in CASES])
 def test_pipelined_forward_matches_dense(name, build, img):
     mesh = make_mesh(8, model_parallel=2)
