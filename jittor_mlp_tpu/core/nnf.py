@@ -353,26 +353,74 @@ def affine(p, x):
 # regularization (train-mode only; identity in eval)
 # ---------------------------------------------------------------------------
 
+# Batch-window context for runners that SPLIT the batch axis inside shard_map
+# (pipeline microbatches × 'data' shards): (global_batch, offset) where
+# ``offset`` is this shard's traced global sample offset. Without it, every
+# shard would draw its per-sample mask at the LOCAL shape with the SAME key —
+# threefry's counter-mode then replicates sample-0's bits across all shards
+# (batch-correlated stochastic depth, the round-4 PP training defect).
+_sample_window = None
+
+
+class sample_window_scope:
+    """Install the (global_batch, sample_offset) window at trace time.
+
+    ``pipeline_blocks`` wraps each stage-compute trace in this scope so
+    drop_path draws bits over the GLOBAL batch and slices its local window —
+    bit-exact with the dense draw no matter how the batch was split."""
+
+    def __init__(self, global_batch, offset):
+        self.value = (int(global_batch), offset)
+
+    def __enter__(self):
+        global _sample_window
+        self._prev = _sample_window
+        _sample_window = self.value
+        return self
+
+    def __exit__(self, *exc):
+        global _sample_window
+        _sample_window = self._prev
+        return False
+
 
 def dropout(rng, x, rate, train):
     if not train or rate == 0.0:
         return x
+    if _sample_window is not None:
+        # elementwise masks: exact dense parity would need a global-batch-
+        # shaped draw per site (wasteful); fold the shard's unique sample
+        # offset instead — independent, correctly-distributed draws with no
+        # cross-shard mask reuse. drop_path below gets the exact treatment.
+        rng = jax.random.fold_in(rng, _sample_window[1])
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def drop_path(rng, x, rate, train):
-    """Stochastic depth per sample (timm DropPath semantics).
+    """Stochastic depth per sample (timm DropPath semantics; reference usage
+    e.g. /root/reference/models_pytorch/cycle_mlp.py:193-196).
 
     ``rate`` may be a traced scalar (stacked per-layer rates under lax.scan);
-    identity when not training or no rng is threaded.
+    identity when not training or no rng is threaded. Under a
+    ``sample_window_scope`` (batch-splitting runners) the per-sample bits are
+    drawn over the GLOBAL batch and sliced at this shard's offset: threefry
+    bits are a pure function of (key, flat position), so the masks match the
+    dense draw bit-for-bit — dense vs pipelined training parity holds
+    (tests/test_pp_zoo.py::test_swin_pair_scan_drop_path_matches_dense).
     """
     if not train or rng is None:
         return x
     keep = jnp.asarray(1.0 - rate, jnp.float32)
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep, shape)
+    B = x.shape[0]
+    if _sample_window is not None:
+        gB, off = _sample_window
+        full = jax.random.bernoulli(rng, keep, (gB,))
+        mask = lax.dynamic_slice(full, (off,), (B,))
+        mask = mask.reshape((B,) + (1,) * (x.ndim - 1))
+    else:
+        mask = jax.random.bernoulli(rng, keep, (B,) + (1,) * (x.ndim - 1))
     return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros((), x.dtype))
 
 
@@ -509,8 +557,10 @@ def scan_blocks_rng(block_fn, stacked_params, x, rng, unroll=1, remat=False):
         # live rng (per-layer drop-path keys): thread the layer index as an
         # extra stacked channel so the runner — which only sees an opaque
         # leading-axis pytree — reproduces the local scan's
-        # fold_in(rng, layer_index) exactly (pipeline stages fold with their
-        # GLOBAL layer id, so dense vs pipelined training parity holds).
+        # fold_in(rng, layer_index) exactly. Pipeline stages fold with their
+        # GLOBAL layer id AND drop_path slices its global-batch mask window
+        # (sample_window_scope, installed by pipeline_blocks), so dense vs
+        # pipelined training parity holds per-key and per-sample.
         # This is what lets hierarchical models (as_mlp stages) train under
         # pipeline_runner instead of silently falling back to the local scan.
         idx = jnp.arange(depth)

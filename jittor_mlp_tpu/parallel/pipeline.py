@@ -29,6 +29,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from ..core import nnf
+
 
 def pipeline_blocks(mesh, block_fn, axis="model", data_axis=None):
     """Build fn(stacked_params, x) running blocks as a P-stage pipeline.
@@ -41,10 +43,19 @@ def pipeline_blocks(mesh, block_fn, axis="model", data_axis=None):
     """
     n_stages = mesh.shape[axis]
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
 
     def staged(params_local, x):
         idx = lax.axis_index(axis)
-        M = x.shape[0]
+        d_idx = lax.axis_index(data_axis) if data_axis is not None else 0
+        M, local_b = x.shape[0], x.shape[1]
+        # this shard's position in the ORIGINAL batch order: the runner
+        # reshaped (B,..) -> (M, B/M,..) and shard_map split axis 1 over
+        # 'data', so microbatch m / data-shard d starts at global sample
+        # m*(B/M) + d*local_b. drop_path slices its mask window there
+        # (nnf.sample_window_scope) so stochastic depth stays per-sample
+        # and bit-identical to the dense draw.
+        global_b = M * local_b * n_data
 
         def local_stage(h):
             def body(carry, bp):
@@ -61,9 +72,14 @@ def pipeline_blocks(mesh, block_fn, axis="model", data_axis=None):
             mb_in = x[jnp.clip(t, 0, M - 1)]
             h = jnp.where(idx == 0, mb_in, recv)
             active = (t - idx >= 0) & (t - idx < M)
+            # stage `idx` processes microbatch t-idx at step t (it entered
+            # the pipeline idx hops ago); bubble steps clip harmlessly
+            mb_id = jnp.clip(t - idx, 0, M - 1)
+            offset = mb_id * (local_b * n_data) + d_idx * local_b
             # bubble steps skip the stage compute entirely (lax.cond is a
             # real branch here — `active` is a scalar, not vmapped)
-            y = lax.cond(active, local_stage, lambda _: zero, h)
+            with nnf.sample_window_scope(global_b, offset):
+                y = lax.cond(active, local_stage, lambda _: zero, h)
             # last stage records its finished microbatch t-(P-1)
             out_slot = jnp.clip(t - (n_stages - 1), 0, M - 1)
             is_out = active & (idx == n_stages - 1)

@@ -98,6 +98,57 @@ def test_pipelined_train_step_matches_dense():
         )
 
 
+def test_pipelined_train_step_matches_dense_live_drop_path():
+    """PP training with stochastic depth LIVE (drop_path_rate=0.5): the
+    pipelined step's loss and updated params match the dense step exactly —
+    drop_path slices its global-batch mask window per shard
+    (nnf.sample_window_scope), so microbatch/data-shard splitting cannot
+    change which samples drop (the round-4 batch-correlated-mask defect).
+    SwinMLP exercises the pair-scan runner path with per-block global-id keys.
+    """
+    import optax
+
+    from jittor_mlp_tpu.parallel import block_runner_scope
+    from jittor_mlp_tpu.parallel.train import split_params
+
+    mesh = make_mesh(8, model_parallel=2)
+    kw = dict(img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+              depths=[4, 4], num_heads=[2, 4], window_size=4,
+              drop_path_rate=0.5)
+    dense = jm.SwinMLP(**kw)
+    piped = jm.SwinMLP(**kw)
+    opt = optax.sgd(0.1)
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(5).standard_normal(
+            (8, 3, 32, 32)).astype(np.float32)),
+        "label": jnp.arange(8, dtype=jnp.int32) % 10,
+    }
+    rng = jax.random.PRNGKey(11)
+
+    p0 = jax.tree.map(np.asarray, dense.params)
+    p_dense = jax.tree.map(jnp.asarray, p0)
+    t0, _, _, _ = split_params(p_dense)
+    d_params, _, d_loss = make_train_step(dense.apply, opt)(
+        p_dense, opt.init(t0), batch, rng
+    )
+
+    runner = pipeline_runner(mesh, microbatches=2, data_axis="data")
+    p_piped = jax.device_put(p0, pipeline_shardings(p0, mesh))
+    t0p, _, _, _ = split_params(p_piped)
+    with mesh, block_runner_scope(runner):
+        p_params, _, p_loss = make_train_step(piped.apply, opt)(
+            p_piped, opt.init(t0p), batch, rng
+        )
+
+    # same rng with rate 0.5 must actually drop something: the train loss
+    # differs from an eval-mode forward's loss (guards against inert masks)
+    np.testing.assert_allclose(float(p_loss), float(d_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(d_params), jax.tree.leaves(p_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_token_parallel_runner_mixer_forward_matches():
     mesh = make_mesh(8, model_parallel=8)  # 16 tokens / 8-way sharding
     dense = jm.MLPMixerForImageClassification(**MIXER_KW)
