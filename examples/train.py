@@ -139,9 +139,18 @@ def main():
         params, opt_state, _ = init_sharded(model.params, optimizer, mesh)
     bsh = batch_sharding(mesh)
 
+    # BN running-stat EMA can't cross the pipeline runner's shard_map (and
+    # GPipe's per-microbatch stats would diverge from torch's per-batch EMA);
+    # freeze the buffers under PP and refresh with recalibrate_bn afterwards.
+    bn_momentum = None if pp > 1 else 0.1
+    if pp > 1:
+        print("pipeline: BN running stats frozen (bn_momentum=None); refresh "
+              "after training with train_utils.recalibrate_bn if the model "
+              "uses BatchNorm")
     train_step = make_train_step(
         model.apply, optimizer,
         compute_dtype=jnp.bfloat16 if args.mixed_precision else None,
+        bn_momentum=bn_momentum,
     )
 
     rng = jax.random.PRNGKey(0)

@@ -175,13 +175,16 @@ def make_train_step(apply_fn, optimizer, compute_dtype=None, bn_momentum=0.1):
         from .. import config
 
         key = (config.compute_dtype, config.matmul_precision, config.remat,
-               config.fast_compile, config.pallas_bwd, nnf._block_runner)
+               config.fast_compile, config.pallas_bwd, config.int8_matmul,
+               nnf._block_runner)
         fn = jit_cache.get(key)
         if fn is None:
             if len(jit_cache) >= 8:
                 jit_cache.pop(next(iter(jit_cache)))
             fn = jax.jit(step, donate_argnums=(0, 1))
-            jit_cache[key] = fn
+        else:  # LRU: keep the hot trace, evict the stalest
+            del jit_cache[key]
+        jit_cache[key] = fn
         return fn
 
     def run(params, opt_state, batch, rng):

@@ -31,9 +31,19 @@ from .data.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
 class Predictor:
     def __init__(self, model, batch_size=8, image_size=224, top_k=5,
-                 bf16=True, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 bf16=None, mean=IMAGENET_MEAN, std=IMAGENET_STD,
                  preprocess=True, weights=None, compute=None):
-        """weights="int8": ship weights to the device as per-channel int8
+        """bf16=None (default): resolve the serving dtype from the measured
+        per-model recommendation in ``tuned.SERVE`` (tools/gen_tuned.py,
+        derived from serving_sweep.jsonl / PARITY_BF16.md). That picks f32
+        for s2_mlp_v2 (bf16 argmax agreement 72% vs its own f32 forward —
+        the softmax-gate amplification analyzed in PARITY_BF16.md), dynamic
+        int8 only where it measurably beats bf16 without losing argmax
+        agreement (mlp_mixer), and bf16 everywhere else. Pass bf16=True /
+        bf16=False (or compute=) to override; unswept custom models default
+        to bf16. ``self.dtype`` records the resolved choice.
+
+        weights="int8": ship weights to the device as per-channel int8
         (quarter of the fp32 bytes over the host link) and dequantize on
         device to the compute dtype — see quant.py for the error bound.
 
@@ -41,6 +51,16 @@ class Predictor:
         (config.int8_mode) — the TPU MXU executes int8 at 2× its bf16 FLOP
         rate; accuracy bounds in tests/test_int8.py."""
         self.model = model.eval()
+        if bf16 is None:
+            from .tuned import serve_settings
+
+            rec = serve_settings(getattr(model, "name", None))
+            choice = rec["dtype"] if rec else "bf16"
+            bf16 = choice != "f32"
+            if choice == "int8" and compute is None and weights is None:
+                compute = "int8"
+        self.dtype = ("int8" if compute == "int8"
+                      else "bf16" if bf16 else "f32")
         if weights == "int8":
             from .quant import dequantize_tree, quantize_tree
 
@@ -302,15 +322,17 @@ class MicroBatcher:
     def stats(self):
         """Batching effectiveness: dispatched batches, mean fill (of
         batch_size), and the occupancy histogram {fill: count}."""
-        b = self._batches
+        with self._stats_lock:  # consistent snapshot vs _execute's updates
+            requests, b = self._requests, self._batches
+            fills = self._fills.copy()
         return {
-            "requests": int(self._requests),
+            "requests": int(requests),
             "batches": int(b),
             "batch_size": int(self.predictor.batch_size),
-            "mean_fill": float(self._requests / b) if b else 0.0,
+            "mean_fill": float(requests / b) if b else 0.0,
             "fill_hist": {
                 str(i): int(c)
-                for i, c in enumerate(self._fills)
+                for i, c in enumerate(fills)
                 if i > 0 and c
             },
         }

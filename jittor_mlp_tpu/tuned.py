@@ -1,7 +1,7 @@
-"""Measured best-known training settings per zoo model (GENERATED).
+"""Measured best-known train/serve settings per zoo model (GENERATED).
 
 Regenerate with ``python tools/gen_tuned.py`` after updating
-train_sweep.jsonl — do not hand-edit the table.
+train_sweep.jsonl or serving_sweep.jsonl — do not hand-edit the tables.
 
 Each record comes from an on-chip measurement of the full driver-size
 config (compare.py CONFIGS) with mixed-precision (bf16 compute, f32
@@ -17,8 +17,23 @@ masters) training:
 - ``img_s``: the measured mixed-precision training throughput, img/s on a
   single v5e chip, for provenance.
 
-``train_settings(name)`` resolves either a sweep key ("mlp_mixer") or a
-factory name ("MLPMixerForImageClassification").
+``SERVE`` carries the measured per-model serving recommendation from
+serving_sweep.jsonl / PARITY_BF16.md:
+
+- ``dtype``: "bf16" (default), "int8" (dynamic W8A8 — only where it BOTH
+  beats bf16 throughput by >=5% and keeps >=98% argmax agreement vs bf16;
+  int8 loses to bf16 on 21/23 models, see PARITY_BF16.md), or "f32"
+  (numerics guardrail — bf16 argmax agreement vs the model's own f32
+  forward < 90%; only s2_mlp_v2, whose softmax gate amplifies bf16
+  rounding ~x1.2/block).
+- throughput/agreement fields are the measurements behind the call, for
+  provenance (img/s at b256, argmax agreement at b64, one v5e chip).
+
+``Predictor`` resolves its default serving dtype through
+``serve_settings(name)``; pass ``bf16=``/``compute=`` to override.
+
+``train_settings(name)`` / ``serve_settings(name)`` resolve either a sweep
+key ("mlp_mixer") or a factory name ("MLPMixerForImageClassification").
 """
 
 TRAIN = {
@@ -47,7 +62,34 @@ TRAIN = {
     "wave_mlp": {"factory": "WaveMLP", "remat": True, "batch": 32, "img_s": 1039.7},
 }
 
+SERVE = {
+    "active_mlp": {"factory": "ActivexTiny", "dtype": "bf16", "bf16_img_s": 1546.9, "int8_img_s": 1487.8, "bf16_argmax": 1.0, "int8_argmax": 1.0},
+    "as_mlp": {"factory": "AS_MLP", "dtype": "bf16", "bf16_img_s": 6320.7, "int8_img_s": 4690.7, "bf16_argmax": 1.0, "int8_argmax": 0.9688},
+    "conv_mixer": {"factory": "ConvMixer", "dtype": "bf16", "bf16_img_s": 1204.7, "int8_img_s": 977.8, "bf16_argmax": 1.0, "int8_argmax": 1.0},
+    "conv_mlp": {"factory": "convmlp_m", "dtype": "bf16", "bf16_img_s": 15512.3, "int8_img_s": 9325.6, "bf16_argmax": 0.9688, "int8_argmax": 0.9531},
+    "cycle_mlp": {"factory": "CycleMLP_B2", "dtype": "bf16", "bf16_img_s": 7625.8, "int8_img_s": 5709.0, "bf16_argmax": 0.9844, "int8_argmax": 0.9688},
+    "dyna_mlp": {"factory": "DynaMixer", "dtype": "bf16", "bf16_img_s": 2683.9, "int8_img_s": 968.4, "bf16_argmax": 0.9688, "int8_argmax": 0.9531},
+    "g_mlp": {"factory": "gMLPForImageClassification", "dtype": "bf16", "bf16_img_s": 7493.3, "int8_img_s": 6290.9, "bf16_argmax": 0.9844, "int8_argmax": 0.9688},
+    "gfnet": {"factory": "GFNet", "dtype": "bf16", "bf16_img_s": 3821.6, "int8_img_s": 3768.7, "bf16_argmax": 1.0, "int8_argmax": 0.9844},
+    "gfnet_h_b": {"factory": "GFNetPyramid", "dtype": "bf16", "bf16_img_s": 3100.9, "int8_img_s": 2290.5, "bf16_argmax": 1.0, "int8_argmax": 0.9844},
+    "hire_mlp": {"factory": "HireMLP", "dtype": "bf16", "bf16_img_s": 4679.8, "int8_img_s": 3410.0, "bf16_argmax": 0.9688, "int8_argmax": 0.9531},
+    "mlp_mixer": {"factory": "MLPMixerForImageClassification", "dtype": "int8", "bf16_img_s": 5485.8, "int8_img_s": 6427.3, "bf16_argmax": 1.0, "int8_argmax": 1.0},
+    "morph_mlp": {"factory": "MorphMLP", "dtype": "bf16", "bf16_img_s": 9952.8, "int8_img_s": 6483.6, "bf16_argmax": 1.0, "int8_argmax": 0.9844},
+    "ms_mlp": {"factory": "MS_MLP", "dtype": "bf16", "bf16_img_s": 8226.2, "int8_img_s": 5741.6, "bf16_argmax": 0.9844, "int8_argmax": 0.9531},
+    "raft_mlp": {"factory": "RaftMLP", "dtype": "bf16", "bf16_img_s": 12598.0, "int8_img_s": 6837.6, "bf16_argmax": 0.9531, "int8_argmax": 0.8906},
+    "repmlpnet": {"factory": "create_RepMLPNet_B224", "dtype": "bf16", "bf16_img_s": 4835.3, "int8_img_s": 4054.7, "bf16_argmax": 0.9844, "int8_argmax": 0.9844},
+    "res_mlp": {"factory": "ResMLPForImageClassification", "dtype": "bf16", "bf16_img_s": 14082.4, "int8_img_s": 14222.9, "bf16_argmax": 1.0, "int8_argmax": 0.9844},
+    "s2_mlp_v1": {"factory": "S2MLPv1_wide", "dtype": "bf16", "bf16_img_s": 5311.0, "int8_img_s": 5281.9, "bf16_argmax": 1.0, "int8_argmax": 1.0},
+    "s2_mlp_v2": {"factory": "S2MLPv2", "dtype": "f32", "bf16_img_s": 5597.0, "int8_img_s": 4051.1, "bf16_argmax": 0.7188, "int8_argmax": 0.4531},
+    "sequencer": {"factory": "Sequencer2D", "dtype": "bf16", "bf16_img_s": 4063.5, "int8_img_s": 3333.0, "bf16_argmax": 1.0, "int8_argmax": 0.9531},
+    "sparse_mlp": {"factory": "SparseMLP", "dtype": "bf16", "bf16_img_s": 4041.6, "int8_img_s": 2533.5, "bf16_argmax": 0.9688, "int8_argmax": 0.9219},
+    "swin_mlp": {"factory": "SwinMLP", "dtype": "bf16", "bf16_img_s": 8733.0, "int8_img_s": 6357.4, "bf16_argmax": 0.9688, "int8_argmax": 0.9062},
+    "vip": {"factory": "ViP", "dtype": "bf16", "bf16_img_s": 7625.4, "int8_img_s": 4911.7, "bf16_argmax": 0.9531, "int8_argmax": 0.9688},
+    "wave_mlp": {"factory": "WaveMLP", "dtype": "bf16", "bf16_img_s": 5124.9, "int8_img_s": 4548.0, "bf16_argmax": 0.9844, "int8_argmax": 0.9688},
+}
+
 _BY_FACTORY = {rec["factory"]: rec for rec in TRAIN.values()}
+_SERVE_BY_FACTORY = {rec["factory"]: rec for rec in SERVE.values()}
 
 
 def train_settings(name):
@@ -58,3 +100,11 @@ def train_settings(name):
     ``compare.py --model <key> --train --try-remat``).
     """
     return TRAIN.get(name) or _BY_FACTORY.get(name)
+
+
+def serve_settings(name):
+    """Measured serving recommendation for ``name`` (sweep key or factory
+    name): dict with ``dtype`` ("bf16"/"int8"/"f32") plus the throughput
+    and argmax-agreement measurements behind it, or None when the model
+    was never swept (Predictor then defaults to bf16)."""
+    return SERVE.get(name) or _SERVE_BY_FACTORY.get(name)

@@ -68,6 +68,38 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert all(t >= 0 for t in cols["time"])
 
 
+def test_predictor_auto_dtype_from_tuned_table():
+    """bf16=None resolves the serving dtype from tuned.SERVE (VERDICT r4 #3):
+    s2_mlp_v2 serves f32 (its bf16 argmax agreement is 72% — the measured
+    numerics guardrail), dyna_mlp serves bf16 and NEVER auto-int8 (int8 is
+    0.36x its bf16 throughput), mlp_mixer serves dynamic int8 (the one model
+    where int8 measurably wins at full agreement). Resolution is by
+    model.name, so tiny configs pin the exact production defaults."""
+    assert jm.Predictor(_tiny_model(), batch_size=2, image_size=32).dtype \
+        == "int8"  # mlp_mixer
+
+    m = _tiny_model()
+    m.name = "s2_mlp_v2"
+    assert jm.Predictor(m, batch_size=2, image_size=32).dtype == "f32"
+
+    m = _tiny_model()
+    m.name = "dyna_mlp"
+    assert jm.Predictor(m, batch_size=2, image_size=32).dtype == "bf16"
+
+    # unswept custom models keep the bf16 default
+    m = _tiny_model()
+    m.name = "my_custom_model"
+    assert jm.Predictor(m, batch_size=2, image_size=32).dtype == "bf16"
+
+    # explicit args override the table
+    m = _tiny_model()
+    m.name = "s2_mlp_v2"
+    assert jm.Predictor(m, batch_size=2, image_size=32,
+                        bf16=True).dtype == "bf16"
+    assert jm.Predictor(_tiny_model(), batch_size=2, image_size=32,
+                        bf16=False).dtype == "f32"
+
+
 def test_predictor_int8_compute():
     """compute="int8" serves through the dynamic W8A8 path: probabilities
     stay close to the f32 predictor's and the flag doesn't leak out."""

@@ -15,7 +15,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 import jittor_mlp_tpu as jm  # noqa: E402
-from jittor_mlp_tpu.tuned import TRAIN, train_settings  # noqa: E402
+from jittor_mlp_tpu.tuned import (  # noqa: E402
+    SERVE, TRAIN, serve_settings, train_settings,
+)
 
 
 def test_covers_whole_sweep():
@@ -24,6 +26,32 @@ def test_covers_whole_sweep():
         if line.strip():
             swept.add(json.loads(line)["model"])
     assert set(TRAIN) == swept
+
+
+def test_serve_covers_whole_serving_sweep():
+    swept = set()
+    for line in open(os.path.join(ROOT, "serving_sweep.jsonl")):
+        line = line.strip()
+        if not line:
+            continue
+        r = json.loads(line)
+        if "arm" not in r and "fps" in r:  # skip serving_bench A/B records
+            swept.add(r["model"])
+    assert set(SERVE) == swept
+
+
+def test_serve_dtype_recommendations():
+    """The measured serving-dtype calls (PARITY_BF16.md): s2_mlp_v2 is the
+    numerics guardrail (f32), mlp_mixer the only model where dynamic int8
+    earns its place, everything else bf16."""
+    assert SERVE["s2_mlp_v2"]["dtype"] == "f32"
+    assert SERVE["mlp_mixer"]["dtype"] == "int8"
+    assert SERVE["dyna_mlp"]["dtype"] == "bf16"
+    for key, rec in SERVE.items():
+        assert rec["dtype"] in ("bf16", "int8", "f32"), key
+        assert rec["bf16_img_s"] > 0 and 0 <= rec["bf16_argmax"] <= 1, key
+    assert serve_settings("s2_mlp_v2") is serve_settings("S2MLPv2")
+    assert serve_settings("no_such_model") is None
 
 
 def test_factories_resolve_and_records_typed():

@@ -1,15 +1,27 @@
-"""Regenerate jittor_mlp_tpu/tuned.py from the measured train sweep.
+"""Regenerate jittor_mlp_tpu/tuned.py from the measured sweeps.
 
 The train sweep (compare.py --all --train --try-remat, merged into
 train_sweep.jsonl by tools/merge_train_sweep.py) measures, per driver-size
 zoo config, whether block rematerialization beats the plain backward on the
-TPU chip and at which batch the best number was taken. This tool bakes the
-result into an importable table so users get the measured-best settings by
-default instead of re-deriving them per run:
+TPU chip and at which batch the best number was taken. The serving sweep
+(serving_sweep.jsonl, written by compare.py --serving) measures bf16 and
+dynamic-int8 throughput plus their numerics vs the f32 parity forward
+(PARITY_BF16.md). This tool bakes both into an importable table so users
+get the measured-best settings by default instead of re-deriving them:
 
     python tools/gen_tuned.py          # rewrites jittor_mlp_tpu/tuned.py
 
 Run after every sweep merge that changes a best-known record.
+
+Serving-dtype rule (measured, not guessed):
+- "f32"  when bf16 argmax agreement vs the model's own f32 forward drops
+  below 0.90 — numerically degraded default (only s2_mlp_v2: 71.9%, the
+  softmax-gate amplification analyzed in PARITY_BF16.md);
+- "int8" when dynamic W8A8 is BOTH >=1.05x the bf16 throughput AND keeps
+  >=0.98 argmax agreement vs bf16 — int8 loses to bf16 on 21/23 models at
+  b256 (quant/dequant is VPU-bound; crossover D~512,
+  tools/int8_matmul_curve.py), so it must earn its place per model;
+- "bf16" otherwise (the TPU-native serving default).
 """
 
 import json
@@ -20,10 +32,10 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-HEADER = '''"""Measured best-known training settings per zoo model (GENERATED).
+HEADER = '''"""Measured best-known train/serve settings per zoo model (GENERATED).
 
 Regenerate with ``python tools/gen_tuned.py`` after updating
-train_sweep.jsonl — do not hand-edit the table.
+train_sweep.jsonl or serving_sweep.jsonl — do not hand-edit the tables.
 
 Each record comes from an on-chip measurement of the full driver-size
 config (compare.py CONFIGS) with mixed-precision (bf16 compute, f32
@@ -39,8 +51,23 @@ masters) training:
 - ``img_s``: the measured mixed-precision training throughput, img/s on a
   single v5e chip, for provenance.
 
-``train_settings(name)`` resolves either a sweep key ("mlp_mixer") or a
-factory name ("MLPMixerForImageClassification").
+``SERVE`` carries the measured per-model serving recommendation from
+serving_sweep.jsonl / PARITY_BF16.md:
+
+- ``dtype``: "bf16" (default), "int8" (dynamic W8A8 — only where it BOTH
+  beats bf16 throughput by >=5% and keeps >=98% argmax agreement vs bf16;
+  int8 loses to bf16 on 21/23 models, see PARITY_BF16.md), or "f32"
+  (numerics guardrail — bf16 argmax agreement vs the model's own f32
+  forward < 90%; only s2_mlp_v2, whose softmax gate amplifies bf16
+  rounding ~x1.2/block).
+- throughput/agreement fields are the measurements behind the call, for
+  provenance (img/s at b256, argmax agreement at b64, one v5e chip).
+
+``Predictor`` resolves its default serving dtype through
+``serve_settings(name)``; pass ``bf16=``/``compute=`` to override.
+
+``train_settings(name)`` / ``serve_settings(name)`` resolve either a sweep
+key ("mlp_mixer") or a factory name ("MLPMixerForImageClassification").
 """
 
 '''
@@ -48,6 +75,7 @@ factory name ("MLPMixerForImageClassification").
 FOOTER = '''
 
 _BY_FACTORY = {rec["factory"]: rec for rec in TRAIN.values()}
+_SERVE_BY_FACTORY = {rec["factory"]: rec for rec in SERVE.values()}
 
 
 def train_settings(name):
@@ -58,6 +86,14 @@ def train_settings(name):
     ``compare.py --model <key> --train --try-remat``).
     """
     return TRAIN.get(name) or _BY_FACTORY.get(name)
+
+
+def serve_settings(name):
+    """Measured serving recommendation for ``name`` (sweep key or factory
+    name): dict with ``dtype`` ("bf16"/"int8"/"f32") plus the throughput
+    and argmax-agreement measurements behind it, or None when the model
+    was never swept (Predictor then defaults to bf16)."""
+    return SERVE.get(name) or _SERVE_BY_FACTORY.get(name)
 '''
 
 
@@ -92,11 +128,56 @@ def main():
         )
     lines.append("}")
 
+    serve = {}
+    for line in open(os.path.join(ROOT, "serving_sweep.jsonl")):
+        line = line.strip()
+        if not line:
+            continue
+        r = json.loads(line)
+        # the file also accumulates serving_bench A/B records ("arm" key)
+        if "arm" in r or "fps" not in r or r["model"] not in CONFIGS:
+            continue
+        bf16_fps, int8_fps = float(r["fps"]), float(r.get("int8_fps", 0.0))
+        bf16_agree = float(r.get("bf16_argmax_agree", 1.0))
+        int8_vs_bf16 = float(r.get("int8_argmax_agree_vs_bf16", 0.0))
+        if bf16_agree < 0.90:
+            dtype = "f32"
+        elif int8_fps >= 1.05 * bf16_fps and int8_vs_bf16 >= 0.98:
+            dtype = "int8"
+        else:
+            dtype = "bf16"
+        _, ref_cls, our_name, _ = CONFIGS[r["model"]]
+        serve[r["model"]] = {
+            "factory": our_name or ref_cls,
+            "dtype": dtype,
+            "bf16_img_s": round(bf16_fps, 1),
+            "int8_img_s": round(int8_fps, 1),
+            "bf16_argmax": round(bf16_agree, 4),
+            "int8_argmax": round(float(r.get("int8_argmax_agree", 0.0)), 4),
+        }
+
+    lines.append("")
+    lines.append("SERVE = {")
+    for key in sorted(serve):
+        rec = serve[key]
+        lines.append(
+            f'    "{key}": {{"factory": "{rec["factory"]}", '
+            f'"dtype": "{rec["dtype"]}", '
+            f'"bf16_img_s": {rec["bf16_img_s"]}, '
+            f'"int8_img_s": {rec["int8_img_s"]}, '
+            f'"bf16_argmax": {rec["bf16_argmax"]}, '
+            f'"int8_argmax": {rec["int8_argmax"]}}},'
+        )
+    lines.append("}")
+
     out = os.path.join(ROOT, "jittor_mlp_tpu", "tuned.py")
     with open(out, "w") as f:
         f.write(HEADER + "\n".join(lines) + FOOTER)
-    print(f"wrote {out}: {len(recs)} models, "
-          f"{sum(r['remat'] for r in recs.values())} remat")
+    n_dt = {d: sum(1 for r in serve.values() if r["dtype"] == d)
+            for d in ("bf16", "int8", "f32")}
+    print(f"wrote {out}: {len(recs)} train recs "
+          f"({sum(r['remat'] for r in recs.values())} remat), "
+          f"{len(serve)} serve recs {n_dt}")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from jittor_mlp_tpu.ops.pallas.mixer_block import (  # noqa: E402
+    _act_for,
     _gelu,
     _ln,
     fused_mixer_block,
@@ -44,6 +45,7 @@ def _kernel_wide(
     *, bt,
 ):
     dtype = x_ref.dtype
+    act = _act_for(dtype)  # production choice: tanh GELU for bf16
     n = x_ref.shape[1]
     np_ = wt1_ref.shape[1]
     d = x_ref.shape[2]
@@ -56,7 +58,7 @@ def _kernel_wide(
         xn.transpose(1, 0, 2).reshape(n, bt * d), ((0, np_ - n), (0, 0))
     )
     t = jnp.dot(wt1_ref[:], xall, preferred_element_type=jnp.float32)
-    t = _gelu(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
+    t = act(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
     t2 = jnp.dot(wt2_ref[:], t, preferred_element_type=jnp.float32)[:n]
     t2 = t2 + bt2_ref[:].astype(jnp.float32)[:, None]
     h = (
@@ -68,7 +70,7 @@ def _kernel_wide(
         h_scr[:].reshape(bt * n, d), ln2w_ref[:], ln2b_ref[:]
     ).astype(dtype)
     c = jnp.dot(hn, wc1t_ref[:], preferred_element_type=jnp.float32)
-    c = _gelu(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
+    c = act(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
     c2 = jnp.dot(c, wc2t_ref[:], preferred_element_type=jnp.float32)
     c2 = c2 + bc2_ref[:].astype(jnp.float32)
     out_ref[:] = (
