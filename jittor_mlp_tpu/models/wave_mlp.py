@@ -33,14 +33,15 @@ def _tfc(p, x2, padding, dim):
     *adjacent* concat channels (2g, 2g+1) → output channel g. A group-of-2
     grouped conv runs at 2/128 lane utilization on the TPU; splitting the
     input into its even/odd channel streams turns it into two full-C
-    depthwise convs summed — exact up to one f32 reassociation, measured
-    2.2–5.0× faster at the ≥14² stages (probe in docs/PERFORMANCE.md). The
-    7² stage measured marginally faster grouped, so it keeps the XLA
-    grouped lowering.
+    depthwise convs summed — exact up to one f32 reassociation. The
+    isolated-op sweep (tools/b1_anatomy.py, docs/PERFORMANCE.md) measures
+    the split faster at EVERY stage geometry and batch ∈ {1, 8, 64} — at
+    b1 by 100–640× (grouped: 471–3,156µs per call vs ≤7µs; the four 7²
+    tfc calls alone were ~1.8ms of wave_mlp's 1.88ms b1 budget) — so the
+    split is unconditional. (Round 4 kept XLA grouped at H·W ≤ 64 off an
+    end-to-end b64 delta that does not reproduce in isolation.)
     """
     B, H, W, _ = x2.shape
-    if H * W <= 64:
-        return nnf.conv2d(p, x2, padding=padding, groups=dim)
     w = p["weight"]  # torch OIHW: (C, 2, kh, kw)
     xp = x2.reshape(B, H, W, dim, 2)
     ye = nnf.conv2d({"weight": w[:, 0:1]}, xp[..., 0], padding=padding, groups=dim)

@@ -190,7 +190,7 @@ def _hat_sample_1d(x, offset, axis, share=1):
     return y.reshape(B, H, W, C)
 
 
-def _hat_sample_1d_banded(x, offset, axis, share=1, band=4):
+def _hat_sample_1d_banded(x, offset, axis, share=1, band=4, saturate=True):
     """Banded bilinear sample: identical to _hat_sample_1d whenever every
     offset lies in [-band, band], at O(band) elementwise cost instead of an
     O(n) contraction.
@@ -200,14 +200,26 @@ def _hat_sample_1d_banded(x, offset, axis, share=1, band=4):
     only for d ∈ {⌊off⌋, ⌊off⌋+1}, so offsets bounded by ``band`` need only
     the 2·band+1 static shifts d ∈ [−band, band]. Each term is a zero-padded
     static shift times an elementwise coefficient: pure VPU work, no
-    (B,H,W,g,n) hat-matrix intermediate and no n× FLOP blowup. Offsets are
-    clamped to the band, so out-of-band offsets saturate instead of matching
-    the exact path — callers opt in via ActiveMLP(offset_band=...).
+    (B,H,W,g,n) hat-matrix intermediate and no n× FLOP blowup.
+
+    ``saturate=True`` (the explicit ActiveMLP(offset_band=D) contract):
+    offsets are clamped to ±band, so out-of-band offsets saturate at the
+    band edge instead of matching the exact path.
+
+    ``saturate=False`` (the offset_band="auto" fast path): no clamp, and the
+    tap range is capped at n−1 — any (i, j) pair that contributes to the
+    exact hat sum has |j − i| ≤ n−1, and taps with hat(off − d) = 0 add
+    nothing, so the unclamped capped sum equals _hat_sample_1d for ANY
+    offset value, in-band or not.
     """
     B, H, W, C = x.shape
+    n = x.shape[axis]
     g = C // share
     off = offset.reshape(B, H, W, g, share)[..., 0].astype(jnp.float32)
-    off = jnp.clip(off, -band, band)
+    if saturate:
+        off = jnp.clip(off, -band, band)
+    else:
+        band = min(band, n - 1)
     xg = x.reshape(B, H, W, g, share)
     out = jnp.zeros_like(xg)
     for d in range(-band, band + 1):
@@ -218,13 +230,15 @@ def _hat_sample_1d_banded(x, offset, axis, share=1, band=4):
     return out.reshape(B, H, W, C)
 
 
-def atm_op(p, x, offset, dimension, share=1, band=None):
+def atm_op(p, x, offset, dimension, share=1, band=None, saturate=True):
     """ActiveMLP ATMOp on NHWC: per-channel learned float offset along one
     axis, then 1x1 matmul (active_mlp.py:65-81). ``band`` selects the banded
-    sampler (exact for |offset| ≤ band)."""
+    sampler (exact for |offset| ≤ band; with ``saturate=False`` exact for
+    any offset — see _hat_sample_1d_banded)."""
     axis = 1 if dimension == "h" else 2
     if band is not None:
-        y = _hat_sample_1d_banded(x, offset, axis, share=share, band=band)
+        y = _hat_sample_1d_banded(x, offset, axis, share=share, band=band,
+                                  saturate=saturate)
     else:
         y = _hat_sample_1d(x, offset, axis, share=share)
     out = jnp.matmul(y, p["weight"][:, :, 0, 0].T, precision=nnf._prec())

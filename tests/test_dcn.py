@@ -269,3 +269,143 @@ def test_dcnpooling_torch_import_fc_layout():
     want, _ = dcn.dcn_v2_pooling(x, rois, offset, 1.0, P, C, False, 2, P, 4, 0.1)
     want = np.asarray(want * mask)
     assert_close(got, want, tol=1e-5, name="DCNPooling fc import")
+
+
+def test_active_mlp_auto_band_checked_default(monkeypatch):
+    """offset_band="auto" (the default) must match the exact hat path to
+    reassociation noise: in eval every resolvable offset layer uses the
+    UNCLAMPED banded sampler at band = min(⌈bound·1.05⌉, n−1), which is
+    exact for any offsets — in-bound offsets never reach the cap (the
+    provable _offset_bound covers them: Cauchy-Schwarz on the
+    LN-normalized vector, ‖ŷ‖₂ ≤ √C), and taps |d| ≥ n are identically
+    zero, so no clamp is needed."""
+    from jittor_mlp_tpu.models import active_mlp as am
+    from jittor_mlp_tpu.models.active_mlp import ActiveMLP, _offset_bound
+
+    # force engage-everywhere at this tiny batch: the batch/stage gate is a
+    # pure perf choice and would otherwise leave some stages on the (then
+    # trivially equal) exact path, weakening the exactness claim under test
+    monkeypatch.setattr(am, "_ENGAGE_ALL_MIN_BATCH", 1)
+
+    kw = dict(img_size=64, depths=[2, 2], embed_dims=[32, 64],
+              mlp_ratios=[2, 2], share_dims=[2, 2], num_classes=10, seed=3)
+    m_auto = ActiveMLP(**kw)  # default offset_band="auto"
+    m_exact = ActiveMLP(offset_band=None, **kw)
+
+    # sanity: both offset layers resolve to finite bounds (so the banded
+    # path engages everywhere — otherwise the equality below is vacuous)
+    for i in range(2):
+        bound = _offset_bound(m_auto.params["blocks"][i][0]["offset_layer"])
+        assert bound is not None and np.isfinite(bound) and bound > 0
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 3, 64, 64)), jnp.float32)
+    a = np.asarray(m_auto.apply(m_auto.params, x, train=False))
+    b = np.asarray(m_exact.apply(m_exact.params, x, train=False))
+    # same math, different summation order (banded: 2·band+1 sequential
+    # VPU FMAs; exact: O(n) einsum) — equal to reassociation noise
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # training always takes the exact path (params move; bounds go stale)
+    ra = np.asarray(m_auto.apply(m_auto.params, x, train=True, rng=jax.random.key(0)))
+    rb = np.asarray(m_exact.apply(m_exact.params, x, train=True, rng=jax.random.key(0)))
+    np.testing.assert_array_equal(ra, rb)
+
+
+def test_active_mlp_offset_bound_is_sound():
+    """_offset_bound upper-bounds the achievable |offset| over ANY input:
+    random probes never exceed it, and the adversarial input (LN output
+    aligned with the worst weight row) gets within 1% — i.e. the bound is
+    sound and near-tight, so band=⌈bound⌉ provably covers every offset."""
+    from jittor_mlp_tpu.core import nnf
+    from jittor_mlp_tpu.models.active_mlp import ActiveMLP, _offset_bound
+
+    m = ActiveMLP(img_size=64, depths=[2, 2], embed_dims=[32, 64],
+                  mlp_ratios=[2, 2], share_dims=[2, 2], num_classes=10, seed=7)
+    op = m.params["blocks"][0][0]["offset_layer"]
+    bound = _offset_bound(op)
+
+    def offsets(v):  # the model's offset computation on a (N, C) batch
+        o = nnf.layer_norm(op["0"], v)
+        return nnf.linear(op["1"], o)
+
+    rng = np.random.default_rng(0)
+    probes = jnp.asarray(rng.standard_normal((4096, 32)) *
+                         rng.uniform(0.1, 100, (4096, 1)), jnp.float32)
+    assert float(jnp.abs(offsets(probes)).max()) <= bound + 1e-5
+
+    # adversarial: x whose LN-normalization aligns with the worst row of W⊙γ
+    W = np.asarray(op["1"]["weight"], np.float64)
+    g = np.asarray(op["0"]["weight"], np.float64)
+    v = W * g[None, :]
+    v = v - v.mean(axis=1, keepdims=True)
+    k = int(np.linalg.norm(v, axis=1).argmax())
+    adv = jnp.asarray(v[k][None, :], jnp.float32)  # LN maps it to ∝ itself
+    got = float(jnp.abs(offsets(adv)).max())
+    assert got <= bound + 1e-5
+    assert got >= 0.99 * abs(
+        np.linalg.norm(v[k]) * np.sqrt(32)
+        - abs(W[k] @ np.asarray(op["0"]["bias"], np.float64)
+              + np.asarray(op["1"]["bias"], np.float64)[k])
+    ) - 1e-5, f"bound far from achievable: {got} vs {bound}"
+
+
+def test_active_mlp_auto_band_reresolves_on_import(monkeypatch):
+    """load_torch_state_dict re-resolves the bounds from the imported
+    weights: scaling the offset layers up by 100× pushes every bound far
+    past the per-axis tap cap, so the auto path runs at band = n−1 with
+    genuinely out-of-cap-magnitude bounds — outputs must still match
+    offset_band=None with the same weights (the unclamped capped sampler
+    is exact for any offset). The export round trip (index-tagged importer
+    trace) must survive the resolve hook."""
+    from jittor_mlp_tpu.models import active_mlp as am
+    from jittor_mlp_tpu.models.active_mlp import ActiveMLP
+
+    monkeypatch.setattr(am, "_ENGAGE_ALL_MIN_BATCH", 1)  # see test above
+
+    kw = dict(img_size=64, depths=[2, 2], embed_dims=[32, 64],
+              mlp_ratios=[2, 2], share_dims=[2, 2], num_classes=10, seed=3)
+    m = ActiveMLP(**kw)
+    sd = m.export_torch_state_dict(tensors=False)  # hook sees tagged ints
+    sd = {k: (v * 100.0 if "offset_layer.1.weight" in k else v)
+          for k, v in sd.items()}
+    m.load_torch_state_dict(sd)
+    m_exact = ActiveMLP(offset_band=None, **kw)
+    m_exact.load_torch_state_dict(sd)
+    x = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 3, 64, 64)), jnp.float32)
+    a = np.asarray(m.apply(m.params, x, train=False))
+    b = np.asarray(m_exact.apply(m_exact.params, x, train=False))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_hat_sample_banded_unclamped_exact_for_any_offset():
+    """saturate=False: the unclamped banded sampler with the per-axis n−1
+    tap cap equals _hat_sample_1d for ANY offset — far out of band, beyond
+    the axis length, fractional — because every contributing (i, j) pair
+    has |j − i| ≤ n−1 and zero-coefficient taps add nothing. This is the
+    ActiveMLP offset_band="auto" fast path's exactness contract."""
+    from jittor_mlp_tpu.ops.deform import _hat_sample_1d, _hat_sample_1d_banded
+
+    rng = np.random.default_rng(13)
+    B, H, W, C = 2, 9, 7, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    for axis in (1, 2):
+        n = x.shape[axis]
+        for share in (1, 2):
+            g = C // share
+            off = rng.uniform(-n - 2.5, n + 2.5, (B, H, W, g)).astype("float32")
+            off = np.repeat(off, share, axis=-1)
+            want = np.asarray(_hat_sample_1d(x, jnp.asarray(off), axis, share))
+            # band far above the cap: the sampler must cap it at n−1 itself
+            got = np.asarray(_hat_sample_1d_banded(
+                x, jnp.asarray(off), axis, share, band=50, saturate=False))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"axis={axis} share={share}")
+            # and with a small band covering the offsets, same result
+            off2 = np.repeat(
+                rng.uniform(-1.9, 1.9, (B, H, W, g)).astype("float32"),
+                share, axis=-1)
+            want2 = np.asarray(_hat_sample_1d(x, jnp.asarray(off2), axis, share))
+            got2 = np.asarray(_hat_sample_1d_banded(
+                x, jnp.asarray(off2), axis, share, band=2, saturate=False))
+            np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
