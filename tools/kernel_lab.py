@@ -78,6 +78,90 @@ def _kernel_wide(
     ).astype(dtype)
 
 
+# --- variant A2: token-major resident layout (round 5) ---------------------
+# wide2's two in-kernel (N, bt, D) transposes cost more than its 2×-wider
+# token matmuls saved. This variant removes the transposes instead of the
+# width: the activation lives as (G, N, bt, D) across the WHOLE stack (one
+# XLA transpose before the scan, one after), so inside the kernel
+#   token matmuls : (N, bt, D) -> reshape (N, bt·D)   (free, contiguous)
+#   channel matmuls: (N, bt, D) -> reshape (N·bt, D)  (free, contiguous)
+# — the wide MXU passes with zero VPU relayout.
+def _kernel_tokmajor(
+    x_ref,
+    ln1w_ref, ln1b_ref, wt1_ref, bt1_ref, wt2_ref, bt2_ref,
+    ln2w_ref, ln2b_ref, wc1t_ref, bc1_ref, wc2t_ref, bc2_ref,
+    out_ref,
+    h_scr,
+    *, bt,
+):
+    dtype = x_ref.dtype
+    act = _act_for(dtype)
+    n = x_ref.shape[1]
+    np_ = wt1_ref.shape[1]
+    d = x_ref.shape[3]
+    x = x_ref[0]  # (N, bt, D)
+    xn = _ln(x.reshape(n * bt, d), ln1w_ref[:], ln1b_ref[:]).astype(dtype)
+    xall = jnp.pad(xn.reshape(n, bt * d), ((0, np_ - n), (0, 0)))
+    t = jnp.dot(wt1_ref[:], xall, preferred_element_type=jnp.float32)
+    t = act(t + bt1_ref[:].astype(jnp.float32)[:, None]).astype(dtype)
+    t2 = jnp.dot(wt2_ref[:], t, preferred_element_type=jnp.float32)[:n]
+    h = (
+        x.astype(jnp.float32).reshape(n, bt * d)
+        + t2
+        + bt2_ref[:].astype(jnp.float32)[:, None]
+    )
+    h_scr[0] = h.reshape(n, bt, d).astype(dtype)
+    hn = _ln(h.reshape(n * bt, d), ln2w_ref[:], ln2b_ref[:]).astype(dtype)
+    c = jnp.dot(hn, wc1t_ref[:], preferred_element_type=jnp.float32)
+    c = act(c + bc1_ref[:].astype(jnp.float32)).astype(dtype)
+    c2 = jnp.dot(c, wc2t_ref[:], preferred_element_type=jnp.float32)
+    c2 = c2 + bc2_ref[:].astype(jnp.float32)
+    out_ref[0] = (
+        h_scr[0].astype(jnp.float32) + c2.reshape(n, bt, d)
+    ).astype(dtype)
+
+
+def _call_tokmajor(x, weights, bt):
+    """x: (G, N, bt, D) token-major activation (relayout done by the caller,
+    OUTSIDE the per-block call so the stack pays it once, not per block)."""
+    G = x.shape[0]
+    ln1w, ln1b, wt1, bt1, wt2, bt2, ln2w, ln2b, wc1, bc1, wc2, bc2 = weights
+    Np = -(-N // 128) * 128
+    wt1p = jnp.pad(wt1, ((0, 0), (0, Np - N)))
+    wt2p = jnp.pad(wt2, ((0, Np - N), (0, 0)))
+    vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    flops = 2 * G * bt * N * D * (2 * TD + 2 * CD)
+    return pl.pallas_call(
+        functools.partial(_kernel_tokmajor, bt=bt),
+        out_shape=jax.ShapeDtypeStruct((G, N, bt, D), x.dtype),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, N, bt, D), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[vec] * 12,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N, bt, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((1, N, bt, D), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * G * bt * N * D * x.dtype.itemsize,
+            transcendentals=G * bt * N * (TD + CD),
+        ),
+    )(x, ln1w, ln1b, wt1p, bt1, wt2p, bt2, ln2w, ln2b, wc1.T, bc1, wc2.T, bc2)
+
+
+def _to_tokmajor(x, bt):
+    B, n, d = x.shape
+    return x.reshape(B // bt, bt, n, d).transpose(0, 2, 1, 3)
+
+
+def _from_tokmajor(x):
+    G, n, bt, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(G * bt, n, d)
+
+
 # --- skeleton variants: ablate VPU work to locate the non-MXU time ---------
 def _make_kernel_ablate(use_gelu, use_ln, erf_terms=5):
     def act(z):
@@ -210,8 +294,12 @@ def make_weights(key):
     )
 
 
-def bench_stack(name, block_apply, batch, iters, stacked):
-    """Time `iters` passes of the 12-block stack with a data dependency."""
+def bench_stack(name, block_apply, batch, iters, stacked, pre=None, post=None):
+    """Time `iters` passes of the 12-block stack with a data dependency.
+
+    ``pre``/``post`` relayout the activation once around the whole scan
+    (layout-persistent variants pay their transform per stack, not per
+    block — exactly how a model would run them)."""
 
     @jax.jit
     def run(w, seed, nit):
@@ -222,11 +310,15 @@ def bench_stack(name, block_apply, batch, iters, stacked):
         def body(i, carry):
             acc, x = carry
             xp = x + (acc * 1e-8).astype(jnp.bfloat16)
+            if pre is not None:
+                xp = pre(xp)
 
             def layer(h, wi):
                 return block_apply(wi, h), None
 
             out, _ = lax.scan(layer, xp, w)
+            if post is not None:
+                out = post(out)
             return acc + out[0, 0, 0].astype(jnp.float32), x
 
         acc, _ = lax.fori_loop(0, nit, body, (jnp.float32(0.0), x))
@@ -273,6 +365,8 @@ def main():
     for nm, fn in [
         ("wide", lambda x, w, bt: _call(_kernel_wide, x, w, bt, True)),
         ("noscratch", lambda x, w, bt: _call(_kernel_noscratch, x, w, bt, False)),
+        ("tokmajor", lambda x, w, bt: _from_tokmajor(
+            _call_tokmajor(_to_tokmajor(x, bt), w, bt))),
     ]:
         got = np.asarray(fn(xs, weights, 2), dtype=np.float32)
         err = np.max(np.abs(got - want))
@@ -284,6 +378,9 @@ def main():
         "prod4": lambda w, h: fused_mixer_block(h, *w, bt=4),
         "wide2": lambda w, h: _call(_kernel_wide, h, w, 2, True),
         "wide4": lambda w, h: _call(_kernel_wide, h, w, 4, True),
+        "tokmajor2": lambda w, h: _call_tokmajor(h, w, 2),
+        "tokmajor4": lambda w, h: _call_tokmajor(h, w, 4),
+        "tokmajor8": lambda w, h: _call_tokmajor(h, w, 8),
         "noscratch2": lambda w, h: _call(_kernel_noscratch, h, w, 2, False),
         "noscratch4": lambda w, h: _call(_kernel_noscratch, h, w, 4, False),
         "relu_skel": lambda w, h: _call(
@@ -318,8 +415,14 @@ def main():
     for name in args.variants.split(","):
         if name not in variants:
             continue
+        pre = post = None
+        if name.startswith("tokmajor"):
+            bt = int(name[len("tokmajor"):])
+            pre = functools.partial(_to_tokmajor, bt=bt)
+            post = _from_tokmajor
         try:
-            bench_stack(name, variants[name], args.batch, args.iters, stacked)
+            bench_stack(name, variants[name], args.batch, args.iters, stacked,
+                        pre=pre, post=post)
         except Exception as e:  # VMEM overflow etc. — report and continue
             print(f"{name:34s} FAILED: {type(e).__name__}: {str(e)[:120]}")
 
